@@ -1,0 +1,284 @@
+"""The AudioGoal navigation environment as pure jit/vmap-able functions.
+
+Semantics mirror the reference stack end to end —
+SoundSpacesSim.step graph dynamics (soundspaces/simulator.py:478-546),
+sensor suite (soundspaces/tasks/nav.py), AudioNavRLEnv reward shaping
+(ss_baselines/common/environments.py:74-101), and the habitat measures
+(Success/SPL/SoftSPL/DTG + the SoundSpaces NDTG/NA/SNA additions,
+soundspaces/tasks/nav.py:108-232) — but the implementation is an array
+program: graph moves are int gathers, audio is a batched frequency-domain
+kernel, measures are carried accumulators, auto-reset is a masked update.
+
+One deliberate semantic choice: the reference advances its sliding audio
+window only on observation-cache misses (simulator.py:678-688), an artifact
+of per-process caching; we advance it every step (the reference's own
+behavior whenever caching is off, e.g. with distractors). Sounds of length
+1 s — the published benchmark setting — are unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from soundspaces_tpu.env.structs import DeviceScene, EnvConfig, EnvState, EpisodeBank
+from soundspaces_tpu.ops.convolve import windowed_convolve
+from soundspaces_tpu.ops.stft import spectrogram, spectrogram_shape
+from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
+
+
+class AudioNavEnv:
+    """Batched AudioGoal environment. All methods are functional; the class
+    only holds static config + device scene/episode banks (closure captures,
+    hashable for jit)."""
+
+    def __init__(
+        self,
+        config: EnvConfig,
+        scene: DeviceScene,
+        episodes: EpisodeBank,
+        num_envs: int,
+    ):
+        self.config = config
+        self.scene = scene
+        self.episodes = episodes
+        self.num_envs = num_envs
+        self._reset_batch = jax.jit(jax.vmap(self._reset_one, in_axes=(0, 0)))
+        # note: no buffer donation — state leaves may legitimately alias
+        # (e.g. node == start_node right after auto-reset), and the state is
+        # a few dozen scalars per env anyway.
+        self._step_batch = jax.jit(jax.vmap(self._step_one, in_axes=(0, 0)))
+
+    # ------------------------------------------------------------- public API
+    def reset(self, rng: jax.Array):
+        """rng: PRNG key. Returns (state, obs) with leading axis num_envs."""
+        keys = jax.random.split(rng, self.num_envs)
+        env_ids = jnp.arange(self.num_envs, dtype=jnp.int32)
+        return self._reset_batch(keys, env_ids)
+
+    def step(self, state: EnvState, actions: jax.Array):
+        """actions: [num_envs] int32. Returns (state, obs, reward, done, info);
+        done envs are auto-reset (obs comes from the new episode, reward/info
+        from the finished one)."""
+        return self._step_batch(state, actions)
+
+    @property
+    def observation_shapes(self) -> dict[str, tuple[int, ...]]:
+        shapes: dict[str, tuple[int, ...]] = {}
+        for name in self.config.sensors:
+            if name == "spectrogram":
+                shapes[name] = spectrogram_shape(self.scene.sampling_rate)
+            elif name == "audiogoal":
+                shapes[name] = (2, self.scene.sampling_rate)
+            elif name in self.scene.frames:
+                shapes[name] = tuple(self.scene.frames[name].shape[2:])
+            elif name == "pose":
+                shapes[name] = (4,)
+            elif name == "category":
+                shapes[name] = (self.config.num_categories,)
+            elif name == "collision":
+                shapes[name] = (1,)
+            elif name == "pointgoal_with_gps_compass":
+                shapes[name] = (2,)
+            elif name == "oracle_action":
+                shapes[name] = (1,)
+            else:
+                raise KeyError(f"unknown sensor {name!r}")
+        return shapes
+
+    # ------------------------------------------------------------ single env
+    def _episode_index(self, rng, ep_ptr):
+        if self.config.episode_sampling == "sequential":
+            return ep_ptr % self.episodes.num_episodes
+        return jax.random.randint(rng, (), 0, self.episodes.num_episodes)
+
+    def _load_episode(self, state_rng, ep_ptr) -> EnvState:
+        ep = self.episodes
+        rng, sub = jax.random.split(state_rng)
+        i = self._episode_index(sub, ep_ptr)
+        geo = ep.geodesic[i]
+        return EnvState(
+            node=ep.start_node[i],
+            rot_idx=ep.start_rot_idx[i],
+            goal_node=ep.goal_node[i],
+            goal_slot=ep.goal_slot[i],
+            sound_id=ep.sound_id[i],
+            category=ep.category[i],
+            audio_index=ep.offset_sec[i],
+            step_count=jnp.int32(0),
+            duration_sec=jnp.where(
+                self.config.everlasting, jnp.int32(500), ep.duration_sec[i]
+            ),
+            start_node=ep.start_node[i],
+            start_rot_idx=ep.start_rot_idx[i],
+            start_geodesic=geo,
+            oracle_num_action=ep.oracle_num_action[i],
+            prev_geodesic=geo,
+            path_length=jnp.float32(0.0),
+            num_actions=jnp.int32(0),
+            collided=jnp.bool_(False),
+            ep_ptr=ep_ptr + jnp.int32(self.num_envs),
+            rng=rng,
+        )
+
+    def _reset_one(self, rng, env_id):
+        state = self._load_episode(rng, env_id)
+        return state, self._observe(state)
+
+    def _step_one(self, state: EnvState, action: jax.Array):
+        cfg = self.config
+        scene = self.scene
+
+        is_stop = action == STOP
+        is_fwd = action == MOVE_FORWARD
+        fwd = scene.forward_neighbor[state.node, state.rot_idx]
+        blocked = fwd < 0
+        new_node = jnp.where(is_fwd & ~blocked, fwd, state.node)
+        # TURN_LEFT rotates +90 deg, TURN_RIGHT -90 (simulator.py:512-516)
+        new_rot = jnp.where(
+            action == TURN_LEFT,
+            (state.rot_idx + 1) % 4,
+            jnp.where(action == TURN_RIGHT, (state.rot_idx - 1) % 4, state.rot_idx),
+        )
+        collided = is_fwd & blocked
+
+        step_count = state.step_count + 1
+        num_actions = state.num_actions + 1
+        moved = jnp.linalg.norm(scene.points[new_node] - scene.points[state.node])
+        path_length = state.path_length + moved
+
+        geo = scene.geodesic(new_node, state.goal_node)
+        success = is_stop & (new_node == state.goal_node)
+        done = is_stop | (step_count >= cfg.max_episode_steps)
+
+        # reward shaping (environments.py:74-91)
+        reward = jnp.float32(0.0)
+        if cfg.with_time_penalty:
+            reward = reward + cfg.slack_reward
+        if cfg.with_distance_reward:
+            reward = reward + (state.prev_geodesic - geo) * cfg.distance_reward_scale
+        reward = reward + jnp.where(success, cfg.success_reward, 0.0)
+
+        # measures (valid when done; the trainer masks on `done`)
+        sf = success.astype(jnp.float32)
+        start_geo = state.start_geodesic
+        spl = sf * start_geo / jnp.maximum(start_geo, path_length)
+        softspl = jnp.clip(1.0 - geo / jnp.maximum(start_geo, 1e-6), 0.0, 1.0) * (
+            start_geo / jnp.maximum(start_geo, path_length)
+        )
+        ona = state.oracle_num_action.astype(jnp.float32)
+        sna = sf * ona / jnp.maximum(ona, num_actions.astype(jnp.float32))
+        info = {
+            "success": sf,
+            "spl": spl,
+            "softspl": softspl,
+            "distance_to_goal": geo,
+            "normalized_distance_to_goal": geo / jnp.maximum(start_geo, 1e-6),
+            "na": num_actions.astype(jnp.float32),
+            "sna": sna,
+        }
+
+        sound_len = jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)
+        continued = state.replace(
+            node=new_node,
+            rot_idx=new_rot,
+            audio_index=(state.audio_index + 1) % sound_len,
+            step_count=step_count,
+            prev_geodesic=geo,
+            path_length=path_length,
+            num_actions=num_actions,
+            collided=collided,
+        )
+        fresh = self._load_episode(state.rng, state.ep_ptr)
+        new_state = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), fresh, continued
+        )
+        return new_state, self._observe(new_state), reward, done, info
+
+    # -------------------------------------------------------------- sensors
+    def _observe(self, state: EnvState) -> dict[str, jax.Array]:
+        cfg, scene = self.config, self.scene
+        obs: dict[str, jax.Array] = {}
+        need_audio = ("spectrogram" in cfg.sensors) or ("audiogoal" in cfg.sensors)
+        if need_audio:
+            audiogoal = self._audiogoal(state)
+            if "audiogoal" in cfg.sensors:
+                obs["audiogoal"] = audiogoal
+            if "spectrogram" in cfg.sensors:
+                obs["spectrogram"] = spectrogram(audiogoal)
+        for name in cfg.sensors:
+            if name in scene.frames:
+                frame = scene.frames[name][state.node, state.rot_idx]
+                obs[name] = frame
+            elif name == "pose":
+                obs[name] = self._pose(state)
+            elif name == "category":
+                obs[name] = jax.nn.one_hot(state.category, cfg.num_categories)
+            elif name == "collision":
+                obs[name] = state.collided.astype(jnp.float32)[None]
+            elif name == "pointgoal_with_gps_compass":
+                obs[name] = self._pointgoal(state)
+            elif name == "oracle_action":
+                obs[name] = self._oracle_action(state)[None].astype(jnp.float32)
+        return obs
+
+    def _audiogoal(self, state: EnvState) -> jax.Array:
+        """Binaural waveform [2, sr]: gather the pose's RIR, convolve with the
+        precomputed source-segment spectrum (simulator.py:608-647)."""
+        scene = self.scene
+        az_idx = (4 - state.rot_idx) % 4  # azimuth = -rotation (simulator.py:573)
+        rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
+        seg = scene.seg_fft[state.sound_id, state.audio_index]  # [F]
+        audio = windowed_convolve(
+            seg, rir, scene.sampling_rate, scene.rir_max_len
+        )
+        # silence once past the sound's duration (simulator.py:610-612)
+        audible = state.step_count <= state.duration_sec
+        return jnp.where(audible, audio, 0.0)
+
+    def _pose(self, state: EnvState) -> jax.Array:
+        """(x, y, heading, t) in the episode-start frame, the SAVi PoseSensor
+        (soundspaces/tasks/nav.py:700-774)."""
+        scene = self.scene
+        delta = scene.points[state.node] - scene.points[state.start_node]
+        # rotate world delta into the start heading frame
+        a0 = jnp.deg2rad(90.0 * state.start_rot_idx.astype(jnp.float32))
+        c, s = jnp.cos(-a0), jnp.sin(-a0)
+        x = c * delta[0] - s * delta[2]
+        z = s * delta[0] + c * delta[2]
+        heading = jnp.deg2rad(
+            90.0 * ((state.rot_idx - state.start_rot_idx) % 4).astype(jnp.float32)
+        )
+        t = state.step_count.astype(jnp.float32)
+        return jnp.stack([x, z, heading, t])
+
+    def _pointgoal(self, state: EnvState) -> jax.Array:
+        """(rho, phi): goal in the agent's polar frame (habitat
+        PointGoalWithGPSCompass convention)."""
+        scene = self.scene
+        delta = scene.points[state.goal_node] - scene.points[state.node]
+        rho = jnp.linalg.norm(jnp.stack([delta[0], delta[2]]))
+        # agent orientation: (270 - 90*rot) degrees in mesh frame
+        ang = jnp.deg2rad(270.0 - 90.0 * state.rot_idx.astype(jnp.float32))
+        phi = jnp.arctan2(delta[2], delta[0]) - ang
+        phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
+        return jnp.stack([rho, phi])
+
+    def _oracle_action(self, state: EnvState) -> jax.Array:
+        """Greedy shortest-path action (simulator.py:725-751): STOP at goal,
+        FORWARD if facing the next hop, else the shorter turn toward it."""
+        scene = self.scene
+        nxt = scene.oracle_next[state.node, state.goal_node]
+        at_goal = state.node == state.goal_node
+        # rotation index that faces nxt
+        facing = scene.forward_neighbor[state.node]  # [4]
+        target_rot = jnp.argmax(facing == nxt).astype(jnp.int32)
+        has_dir = jnp.any(facing == nxt)
+        delta = (target_rot - state.rot_idx) % 4
+        turn = jnp.where(delta <= 2, TURN_LEFT, TURN_RIGHT)
+        act = jnp.where(delta == 0, MOVE_FORWARD, turn)
+        act = jnp.where(at_goal | ~has_dir | (nxt < 0), STOP, act)
+        return act

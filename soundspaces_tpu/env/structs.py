@@ -1,0 +1,203 @@
+"""Device-side data structures for the functional environment."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from soundspaces_tpu.scene.banks import SceneAssets
+from soundspaces_tpu.scene.graph import UNREACHABLE
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment/task configuration (the content of the reference's
+    yacs TASK_CONFIG + RL nodes that affects device computation;
+    ss_baselines/av_nav/config/default.py:25-152)."""
+
+    max_episode_steps: int = 500
+    # reward shaping (ss_baselines/common/environments.py:74-91)
+    slack_reward: float = -0.01
+    success_reward: float = 10.0
+    distance_reward_scale: float = 1.0
+    with_time_penalty: bool = True
+    with_distance_reward: bool = True
+    # audio (ss_baselines/av_nav/config/default.py AUDIO node)
+    everlasting: bool = True
+    # observation suite
+    sensors: tuple[str, ...] = ("spectrogram", "depth")
+    num_categories: int = 21
+    # episode scheduling: "random" (training) or "sequential" (eval sweeps)
+    episode_sampling: str = "random"
+
+    @property
+    def num_actions(self) -> int:
+        return 4  # STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT
+
+
+@struct.dataclass
+class DeviceScene:
+    """One scene's assets as device arrays (see scene/banks.py for shapes)."""
+
+    points: jax.Array  # [N, 3] f32
+    forward_neighbor: jax.Array  # [N, 4] i32
+    geodesic_hops: jax.Array  # [N, N] i32
+    oracle_next: jax.Array  # [N, N] i32 next-hop node toward goal
+    rir: jax.Array  # [4, N, G, 2, L] f32
+    goal_slot_of_node: jax.Array  # [N] i32
+    seg_fft: jax.Array  # [S, secs, F] c64
+    sound_lengths_sec: jax.Array  # [S] i32
+    frames: dict[str, jax.Array]  # name -> [N, 4, H, W, C]
+    grid_size: float = struct.field(pytree_node=False, default=0.5)
+    sampling_rate: int = struct.field(pytree_node=False, default=16000)
+    rir_max_len: int = struct.field(pytree_node=False, default=8000)
+
+    @classmethod
+    def from_assets(cls, assets: SceneAssets) -> "DeviceScene":
+        g, ac = assets.graph, assets.acoustics
+        return cls(
+            points=jnp.asarray(g.points),
+            forward_neighbor=jnp.asarray(g.forward_neighbor),
+            geodesic_hops=jnp.asarray(g.geodesic_hops),
+            oracle_next=jnp.asarray(g.oracle_action),
+            rir=jnp.asarray(ac.rir),
+            goal_slot_of_node=jnp.asarray(ac.goal_slot_of_node),
+            seg_fft=jnp.asarray(ac.seg_fft),
+            sound_lengths_sec=jnp.asarray(ac.sound_lengths_sec),
+            frames={k: jnp.asarray(v) for k, v in assets.frames.modalities.items()},
+            grid_size=float(g.grid_size),
+            sampling_rate=int(ac.sampling_rate),
+            rir_max_len=int(ac.rir_max_len),
+        )
+
+    def geodesic(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        hops = self.geodesic_hops[a, b]
+        return jnp.where(
+            hops >= UNREACHABLE, jnp.inf, hops.astype(jnp.float32) * self.grid_size
+        )
+
+
+@struct.dataclass
+class EpisodeBank:
+    """Episode definitions as parallel arrays (the device form of the
+    reference's gzip-JSON AudioNavDataset episodes,
+    soundspaces/datasets/audionav_dataset.py:28-165)."""
+
+    start_node: jax.Array  # [E] i32
+    start_rot_idx: jax.Array  # [E] i32 (rotation_angle / 90)
+    goal_node: jax.Array  # [E] i32
+    goal_slot: jax.Array  # [E] i32 index into the RIR bank goal axis
+    sound_id: jax.Array  # [E] i32
+    geodesic: jax.Array  # [E] f32 start geodesic distance (episode.info)
+    oracle_num_action: jax.Array  # [E] i32 (episode.info["num_action"])
+    duration_sec: jax.Array  # [E] i32 sound duration for non-everlasting audio
+    offset_sec: jax.Array  # [E] i32 sound onset offset (semantic task)
+    category: jax.Array  # [E] i32 goal object category
+
+    @property
+    def num_episodes(self) -> int:
+        return self.start_node.shape[0]
+
+
+@struct.dataclass
+class EnvState:
+    """Full per-env simulation state; batched with a leading axis."""
+
+    node: jax.Array  # i32
+    rot_idx: jax.Array  # i32 in [0, 4)
+    goal_node: jax.Array
+    goal_slot: jax.Array
+    sound_id: jax.Array
+    category: jax.Array
+    audio_index: jax.Array  # i32 second-index into the source sound
+    step_count: jax.Array  # i32 steps taken this episode
+    duration_sec: jax.Array  # i32
+    # episode bookkeeping
+    start_node: jax.Array
+    start_rot_idx: jax.Array
+    start_geodesic: jax.Array  # f32
+    oracle_num_action: jax.Array  # i32
+    prev_geodesic: jax.Array  # f32 (for the distance-delta reward)
+    path_length: jax.Array  # f32 cumulative euclidean path
+    num_actions: jax.Array  # i32
+    collided: jax.Array  # bool
+    ep_ptr: jax.Array  # i32 sequential episode cursor
+    rng: jax.Array  # PRNG key
+
+
+def make_episode_bank(
+    assets: SceneAssets,
+    num_episodes: int,
+    seed: int = 0,
+    min_geodesic_hops: int = 1,
+    duration_sec: int | None = None,
+) -> EpisodeBank:
+    """Sample a synthetic episode set over a scene's graph/goal slots.
+    Real datasets load through soundspaces_tpu.datasets instead."""
+    g, ac = assets.graph, assets.acoustics
+    rng = np.random.default_rng(seed)
+    starts = np.zeros(num_episodes, np.int32)
+    rots = rng.integers(0, 4, num_episodes).astype(np.int32)
+    slots = rng.integers(0, len(ac.goal_nodes), num_episodes).astype(np.int32)
+    goals = ac.goal_nodes[slots]
+    sounds = rng.integers(0, ac.seg_fft.shape[0], num_episodes).astype(np.int32)
+    geo = np.zeros(num_episodes, np.float32)
+    na = np.zeros(num_episodes, np.int32)
+    for i in range(num_episodes):
+        while True:
+            s = int(rng.integers(0, g.num_nodes))
+            hops = int(g.geodesic_hops[s, goals[i]])
+            if hops >= min_geodesic_hops and hops < UNREACHABLE:
+                break
+        starts[i] = s
+        geo[i] = hops * g.grid_size
+        na[i] = _oracle_num_actions(g, s, int(rots[i]), int(goals[i]))
+    dur = np.full(
+        num_episodes,
+        duration_sec if duration_sec is not None else 500,
+        np.int32,
+    )
+    return EpisodeBank(
+        start_node=jnp.asarray(starts),
+        start_rot_idx=jnp.asarray(rots),
+        goal_node=jnp.asarray(goals.astype(np.int32)),
+        goal_slot=jnp.asarray(slots),
+        sound_id=jnp.asarray(sounds),
+        geodesic=jnp.asarray(geo),
+        oracle_num_action=jnp.asarray(na),
+        duration_sec=jnp.asarray(dur),
+        offset_sec=jnp.zeros(num_episodes, jnp.int32),
+        category=jnp.asarray(sounds % 21),
+    )
+
+
+def _oracle_num_actions(g, node: int, rot_idx: int, goal: int) -> int:
+    """Count of oracle actions (turns + forwards + stop) along the shortest
+    path, mirroring the reference's compute_oracle_actions
+    (soundspaces/simulator.py:725-751)."""
+    count = 0
+    guard = 0
+    while node != goal and guard < 10_000:
+        nxt = int(g.oracle_action[node, goal])
+        if nxt < 0:
+            break
+        # which rotation faces nxt?
+        target_rot = -1
+        for r in range(4):
+            if g.forward_neighbor[node, r] == nxt:
+                target_rot = r
+                break
+        if target_rot < 0:
+            break
+        delta = (target_rot - rot_idx) % 4
+        count += min(delta, 4 - delta)  # turns
+        rot_idx = target_rot
+        node = nxt
+        count += 1  # forward
+        guard += 1
+    return count + 1  # STOP

@@ -1,0 +1,116 @@
+"""STFT-magnitude spectrogram as MXU work.
+
+The reference computes, per env per step, on host CPU:
+  librosa.stft(ch, n_fft=512, hop=160, win=400) -> |.| -> block_reduce(4,4,mean)
+  -> log1p -> stack 2 channels  (soundspaces/tasks/nav.py:86-100).
+
+Here the whole pipeline is one fused batched computation: the windowed DFT is
+expressed as a strided 1-D convolution against a [n_fft, 2*(n_fft//2+1)] real
+DFT basis, which XLA tiles straight onto the MXU; magnitude, 4x4 mean-pool and
+log1p fuse into the same HLO program. No FFTs, no host round-trips, and the
+batch axis is free parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_conv_kernel(n_fft: int, win_length: int, dtype_name: str) -> jax.Array:
+    """Real/imag windowed-DFT basis as a conv kernel [n_fft, 1, 2*(n_fft//2+1)].
+
+    kernel[n, 0, f]        =  win[n] * cos(2*pi*f*n/n_fft)
+    kernel[n, 0, F + f]    = -win[n] * sin(2*pi*f*n/n_fft)
+    with the periodic-hann window zero-padded centered to n_fft, matching
+    librosa.stft defaults.
+    """
+    nf = n_fft // 2 + 1
+    n = np.arange(win_length)
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    lpad = (n_fft - win_length) // 2
+    window = np.pad(window, (lpad, n_fft - win_length - lpad))
+
+    idx_n = np.arange(n_fft)[:, None]
+    idx_f = np.arange(nf)[None, :]
+    ang = 2.0 * np.pi * idx_f * idx_n / n_fft
+    real = window[:, None] * np.cos(ang)
+    imag = -window[:, None] * np.sin(ang)
+    kernel = np.concatenate([real, imag], axis=1)[:, None, :]  # [n_fft, 1, 2F]
+    return jnp.asarray(kernel, dtype=jnp.dtype(dtype_name))
+
+
+def stft_magnitude(
+    signal: jax.Array,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 400,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """|STFT| with librosa semantics. signal: [..., n_samples] ->
+    [..., 1 + n_fft//2, n_frames]."""
+    batch_shape = signal.shape[:-1]
+    n_samples = signal.shape[-1]
+    x = signal.reshape((-1, n_samples))
+
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+
+    kernel = _dft_conv_kernel(n_fft, win_length, str(x.dtype))
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None],
+        kernel,
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision,
+    )  # [B, n_frames, 2F]
+    nf = n_fft // 2 + 1
+    re, im = out[..., :nf], out[..., nf:]
+    mag = jnp.sqrt(re * re + im * im)  # [B, n_frames, F]
+    mag = jnp.swapaxes(mag, -1, -2)  # [B, F, n_frames]
+    return mag.reshape(batch_shape + mag.shape[1:])
+
+
+def _block_reduce_mean(x: jax.Array, block: tuple[int, int]) -> jax.Array:
+    """Mean-pool trailing two axes in non-overlapping blocks, zero-padding each
+    axis at the end (skimage.block_reduce cval=0 semantics)."""
+    bh, bw = block
+    h, w = x.shape[-2], x.shape[-1]
+    ph, pw = (-h) % bh, (-w) % bw
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+    x = jnp.pad(x, pad)
+    nh, nw = (h + ph) // bh, (w + pw) // bw
+    x = x.reshape(x.shape[:-2] + (nh, bh, nw, bw))
+    return x.mean(axis=(-3, -1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "block")
+)
+def spectrogram(
+    audio: jax.Array,
+    n_fft: int = 512,
+    hop_length: int = 160,
+    win_length: int = 400,
+    block: tuple[int, int] = (4, 4),
+) -> jax.Array:
+    """Binaural audio [..., 2, n_samples] -> spectrogram
+    [..., ceil(F/4), ceil(T/4), 2], matching the reference
+    SpectrogramSensor output bit-for-bit up to float32 rounding."""
+    mag = stft_magnitude(audio, n_fft, hop_length, win_length)
+    red = _block_reduce_mean(mag, block)
+    red = jnp.log1p(red)
+    return jnp.moveaxis(red, -3, -1)  # channel axis (2) to last
+
+
+def spectrogram_shape(n_samples: int, n_fft: int = 512, hop_length: int = 160,
+                      block: tuple[int, int] = (4, 4)) -> tuple[int, int, int]:
+    """Static output shape [F', T', 2] of `spectrogram` for one env."""
+    nf = n_fft // 2 + 1
+    frames = 1 + n_samples // hop_length
+    return (-(-nf // block[0]), -(-frames // block[1]), 2)

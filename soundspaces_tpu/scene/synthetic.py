@@ -1,0 +1,156 @@
+"""Procedural scene assets: geometric-acoustics RIRs, source sounds, frames.
+
+Two jobs:
+1. Test/bench fixtures at full production shapes without the 867 GB RIR
+   dataset (soundspaces/README.md:9).
+2. A physically-plausible stand-in for the RLRAudioPropagation ray tracer
+   (SoundSpaces2.md) until the native ray-tracing RIR synthesizer lands: the
+   generator models a direct path (distance delay, 1/r attenuation, binaural
+   ITD/ILD from source azimuth relative to the head) plus an exponentially
+   decaying diffuse reverberant tail whose energy/decay follow the geodesic
+   distance — the same qualitative structure real RIR grids exhibit, so
+   policies trained on it face the same learning problem (louder/closer,
+   interaural cues for direction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from soundspaces_tpu.scene.banks import AcousticBank, FrameBank, SceneAssets
+from soundspaces_tpu.scene.graph import SceneGraph
+
+SPEED_OF_SOUND = 343.0
+
+
+def synth_rir_bank(
+    graph: SceneGraph,
+    goal_nodes: np.ndarray,
+    sampling_rate: int,
+    rir_max_len: int,
+    rt60: float = 0.35,
+    seed: int = 0,
+) -> np.ndarray:
+    """Binaural RIRs [4, N, G, 2, rir_max_len] float32."""
+    rng = np.random.default_rng(seed)
+    n, g = graph.num_nodes, len(goal_nodes)
+    pts = graph.points
+    out = np.zeros((4, n, g, 2, rir_max_len), np.float32)
+
+    t = np.arange(rir_max_len, dtype=np.float32) / sampling_rate
+    decay_rate = 6.908 / rt60  # ln(1000)/rt60: -60 dB at rt60
+
+    for gi, s in enumerate(np.asarray(goal_nodes)):
+        delta = pts[s] - pts  # [N, 3]
+        dist = np.maximum(np.linalg.norm(delta[:, [0, 2]], axis=1), graph.grid_size / 2)
+        # absolute compass angle of the source seen from each node
+        src_dir = np.degrees(np.arctan2(delta[:, 2], delta[:, 0]))  # [N]
+        geo = graph.geodesic_hops[:, s].astype(np.float32) * graph.grid_size
+        geo = np.where(geo > 1e4, dist * 4.0, geo)  # unreachable: heavy damping
+
+        for ai in range(4):
+            # azimuth dir index ai corresponds to rotation angle -90*ai
+            # (azimuth = -rotation % 360, simulator.py:568-573); the agent
+            # faces orientation (270 - rotation) % 360.
+            orientation = (270.0 + 90.0 * ai) % 360.0
+            rel = np.radians(src_dir - orientation)  # bearing of source
+            # ITD (Woodworth) and ILD for a ~0.09 m head radius
+            itd = 0.09 / SPEED_OF_SOUND * (np.sin(rel) + rel * 0)  # [-264us, 264us]
+            ild = 0.5 + 0.4 * np.sin(rel)  # right-ear gain in [0.1, 0.9]
+
+            delay = dist / SPEED_OF_SOUND
+            for ch, (ear_gain, ear_itd) in enumerate(
+                [(1.0 - ild, -itd / 2), (ild, itd / 2)]
+            ):
+                d_samp = np.round((delay + ear_itd) * sampling_rate).astype(np.int64)
+                d_samp = np.clip(d_samp, 0, rir_max_len - 1)
+                amp = ear_gain / dist
+                out[ai, np.arange(n), gi, ch, d_samp] += amp.astype(np.float32)
+
+            # diffuse tail: exp decay, energy scaled by closeness
+            tail_gain = (0.05 / np.maximum(geo, graph.grid_size))[:, None]
+            noise = rng.standard_normal((n, rir_max_len)).astype(np.float32)
+            tail = noise * np.exp(-decay_rate * t)[None, :] * tail_gain
+            onset = np.round(delay * sampling_rate).astype(np.int64)
+            mask = np.arange(rir_max_len)[None, :] >= onset[:, None]
+            tail = np.where(mask, tail, 0.0)
+            out[ai, :, gi, 0] += tail * 0.7
+            out[ai, :, gi, 1] += tail * 0.7
+    return out
+
+
+def synth_source_sounds(
+    n_sounds: int, max_secs: int, sampling_rate: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Telephone-ring-like band-limited sources. Returns
+    (sounds [S, max_secs*sr] float32, lengths_sec [S] int32)."""
+    rng = np.random.default_rng(seed)
+    sounds = np.zeros((n_sounds, max_secs * sampling_rate), np.float32)
+    lengths = np.zeros(n_sounds, np.int32)
+    t = np.arange(max_secs * sampling_rate) / sampling_rate
+    for s in range(n_sounds):
+        secs = int(rng.integers(1, max_secs + 1))
+        f0 = float(rng.uniform(300, 2000))
+        mod = float(rng.uniform(3, 25))
+        wave = np.sin(2 * np.pi * f0 * t) * (0.55 + 0.45 * np.sign(np.sin(2 * np.pi * mod * t)))
+        wave += 0.1 * rng.standard_normal(t.shape)
+        sounds[s, : secs * sampling_rate] = wave[: secs * sampling_rate].astype(np.float32)
+        lengths[s] = secs
+    return sounds, lengths
+
+
+def synth_frames(
+    graph: SceneGraph, height: int, width: int, modalities=("depth",), seed: int = 0
+) -> FrameBank:
+    """Deterministic per-(node, heading) pseudo-renders: smooth gradients keyed
+    on position/heading so models can in principle localize from them."""
+    rng = np.random.default_rng(seed)
+    n = graph.num_nodes
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, height, dtype=np.float32),
+        np.linspace(0, 1, width, dtype=np.float32),
+        indexing="ij",
+    )
+    out = {}
+    for name in modalities:
+        c = 3 if name == "rgb" else 1
+        arr = np.zeros((n, 4, height, width, c), np.float32)
+        phase = rng.uniform(0, 2 * np.pi, size=(n, 4, c)).astype(np.float32)
+        for ch in range(c):
+            arr[..., ch] = 0.5 + 0.5 * np.sin(
+                3.0 * xx[None, None] * (1 + np.arange(4))[None, :, None, None]
+                + 2.0 * yy[None, None]
+                + phase[:, :, ch][..., None, None]
+            )
+        if name == "rgb":
+            arr = (arr * 255).astype(np.uint8)
+        out[name] = arr
+    return FrameBank(out)
+
+
+def make_synthetic_assets(
+    num_nodes_hint: int = 120,
+    num_goals: int = 4,
+    num_sounds: int = 3,
+    sampling_rate: int = 16000,
+    rir_max_len: int | None = None,
+    max_secs: int = 3,
+    image_size: int = 128,
+    modalities=("depth",),
+    seed: int = 0,
+) -> SceneAssets:
+    """One fully-populated synthetic scene. Defaults mimic an MP3D-scale
+    setup (16 kHz RIRs -> 65x26x2 spectrograms)."""
+    side = max(int(np.sqrt(num_nodes_hint / 0.8)), 3)
+    graph = SceneGraph.grid(side, side, obstacle_fraction=0.2, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    goal_nodes = rng.choice(graph.num_nodes, size=min(num_goals, graph.num_nodes), replace=False)
+    goal_nodes = np.sort(goal_nodes).astype(np.int32)
+    rir_max_len = rir_max_len or sampling_rate // 2
+    rirs = synth_rir_bank(graph, goal_nodes, sampling_rate, rir_max_len, seed=seed)
+    sounds, lengths = synth_source_sounds(num_sounds, max_secs, sampling_rate, seed)
+    acoustics = AcousticBank.build(
+        graph, rirs, goal_nodes, sounds, lengths, sampling_rate
+    )
+    frames = synth_frames(graph, image_size, image_size, modalities, seed)
+    return SceneAssets(graph=graph, acoustics=acoustics, frames=frames)
