@@ -1,0 +1,150 @@
+"""North-star benchmark: spectrogram observations/sec/chip on a 256-env
+Replica-style AudioGoal batch (44.1 kHz RIRs), vs the reference's per-env
+scipy pipeline (BASELINE.md / BASELINE.json).
+
+What is measured: the FULL environment step — graph dynamics, RIR gather,
+windowed frequency-domain convolution, STFT spectrogram, reward/measures,
+auto-reset — batched over NUM_ENVS envs, stepped K times inside one jitted
+`lax.scan` (so per-call dispatch is amortized like a real training rollout).
+Only a scalar checksum crosses device->host.
+
+Baseline: the reference computes each observation on host CPU with scipy
+fftconvolve + librosa STFT (soundspaces/simulator.py:608-666,
+tasks/nav.py:86-100); we time exactly that math via
+soundspaces_tpu.refimpl on this machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NUM_ENVS = 256
+SAMPLING_RATE = 44100
+RIR_LEN = 44100  # 1 s binaural RIRs (Replica scale)
+SCAN_STEPS = 20
+TIMED_CALLS = 3
+
+
+def build_world():
+    import jax
+    from soundspaces_tpu.env import (
+        AudioNavEnv,
+        DeviceScene,
+        EnvConfig,
+        make_episode_bank,
+    )
+    from soundspaces_tpu.scene import make_synthetic_assets
+
+    assets = make_synthetic_assets(
+        num_nodes_hint=100,
+        num_goals=4,
+        num_sounds=2,
+        sampling_rate=SAMPLING_RATE,
+        rir_max_len=RIR_LEN,
+        max_secs=2,
+        image_size=128,
+        modalities=("depth",),
+        seed=0,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 256, seed=1, min_geodesic_hops=2)
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, NUM_ENVS
+    )
+    return assets, env
+
+
+def bench_tpu() -> float:
+    """Returns spectrogram observations/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    assets, env = build_world()
+
+    def k_steps(scene, episodes, state, key):
+        def body(carry, k):
+            state = carry
+            actions = jax.random.randint(k, (NUM_ENVS,), 0, 4)
+            state, obs, reward, done, info = env.step_pure(
+                scene, episodes, state, actions
+            )
+            return state, jnp.sum(obs["spectrogram"][:, 0, 0, 0])
+        keys = jax.random.split(key, SCAN_STEPS)
+        state, sums = jax.lax.scan(body, state, keys)
+        return state, jnp.sum(sums)
+
+    k_steps = jax.jit(k_steps)
+    scene, episodes = env.scene, env.episodes
+
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    # warmup/compile
+    state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(1))
+    float(chk)
+
+    t0 = time.time()
+    total = 0
+    for i in range(TIMED_CALLS):
+        state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(2 + i))
+        total += NUM_ENVS * SCAN_STEPS
+    float(chk)  # sync
+    dt = time.time() - t0
+    return total / dt
+
+
+def bench_scipy_baseline() -> float:
+    """Single-env reference pipeline rate (obs/sec) on host CPU."""
+    from soundspaces_tpu import refimpl
+
+    rng = np.random.default_rng(0)
+    source = rng.standard_normal(2 * SAMPLING_RATE).astype(np.float32)
+    rir = rng.standard_normal((RIR_LEN, 2)).astype(np.float32) * 0.01
+    # warmup
+    ag = refimpl.sliding_window_audiogoal(source, rir, 1, SAMPLING_RATE)
+    refimpl.compute_spectrogram(ag)
+    n = 5
+    t0 = time.time()
+    for i in range(n):
+        ag = refimpl.sliding_window_audiogoal(source, rir, 1, SAMPLING_RATE)
+        refimpl.compute_spectrogram(ag)
+    return n / (time.time() - t0)
+
+
+def main():
+    result = {
+        "metric": "spectrogram obs/sec/chip (full env step, 256-env AudioGoal batch, 44.1 kHz)",
+        "value": 0.0,
+        "unit": "obs/s",
+        "vs_baseline": 0.0,
+    }
+    try:
+        baseline = bench_scipy_baseline()
+    except Exception as e:  # pragma: no cover
+        print(f"baseline failed: {e!r}", file=sys.stderr)
+        baseline = None
+
+    last_err = None
+    for attempt in range(3):
+        try:
+            rate = bench_tpu()
+            result["value"] = round(rate, 1)
+            if baseline:
+                result["vs_baseline"] = round(rate / baseline, 1)
+            break
+        except Exception as e:  # TPU tunnel flakes: cool down and retry
+            last_err = e
+            print(f"bench attempt {attempt} failed: {e!r}", file=sys.stderr)
+            time.sleep(60)
+    else:
+        result["error"] = repr(last_err)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Config -> assets/env/trainer wiring (the construct_envs + trainer-registry
+role of ss_baselines/common/env_utils.py:25-136 and run.py:24-101)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from soundspaces_tpu.config import ExperimentConfig
+from soundspaces_tpu.env import AudioNavEnv, DeviceScene, make_episode_bank
+from soundspaces_tpu.env.structs import EpisodeBank
+from soundspaces_tpu.scene import SceneGraph, make_synthetic_assets
+from soundspaces_tpu.scene.banks import AcousticBank, FrameBank, SceneAssets
+from soundspaces_tpu.utils import registry
+
+
+def build_assets(cfg: ExperimentConfig) -> SceneAssets:
+    d = cfg.data
+    if d.synthetic:
+        return make_synthetic_assets(
+            num_nodes_hint=d.num_nodes_hint,
+            num_goals=d.num_goals,
+            num_sounds=d.num_sounds,
+            sampling_rate=d.sampling_rate,
+            rir_max_len=d.rir_max_len,
+            max_secs=d.max_secs,
+            image_size=d.image_size,
+            modalities=tuple(d.modalities),
+            seed=d.seed,
+        )
+    graph = SceneGraph.from_metadata(d.metadata_dir, d.grid_size)
+    sounds, names = load_source_sounds(d.source_sound_dir, d.sampling_rate)
+    lengths = np.maximum(
+        np.array([s.shape[0] // d.sampling_rate for s in [sounds[i] for i in range(sounds.shape[0])]], np.int32), 1
+    )
+    goal_nodes = discover_goal_nodes(d.binaural_rir_dir, graph)
+    acoustics = AcousticBank.from_rir_dir(
+        graph, d.binaural_rir_dir, goal_nodes, sounds, lengths,
+        d.sampling_rate, d.rir_max_len,
+    )
+    frames = (
+        FrameBank.from_cache_pickle(d.scene_observation_file, graph.num_nodes)
+        if d.scene_observation_file
+        else FrameBank({})
+    )
+    return SceneAssets(graph=graph, acoustics=acoustics, frames=frames)
+
+
+def load_source_sounds(sound_dir: str, sampling_rate: int):
+    """Load mono source wavs (the reference uses librosa.load with
+    resampling, simulator.py:579-600; we require matching sample rates)."""
+    from scipy.io import wavfile
+
+    names, waves = [], []
+    for fname in sorted(os.listdir(sound_dir)):
+        if not fname.endswith(".wav"):
+            continue
+        sr, data = wavfile.read(os.path.join(sound_dir, fname))
+        assert sr == sampling_rate, (
+            f"{fname}: expected {sampling_rate} Hz, got {sr} "
+            "(resample offline; librosa is unavailable in this build)"
+        )
+        if data.dtype.kind == "i":
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        names.append(fname[: -len(".wav")])
+        waves.append(data.astype(np.float32))
+    max_len = max(w.shape[0] for w in waves)
+    max_len = -(-max_len // sampling_rate) * sampling_rate
+    out = np.zeros((len(waves), max_len), np.float32)
+    for i, w in enumerate(waves):
+        out[i, : w.shape[0]] = w
+    return out, names
+
+
+def discover_goal_nodes(binaural_rir_dir: str, graph: SceneGraph) -> np.ndarray:
+    """Goal (source) node set = distinct source indices present in the RIR
+    directory's {receiver}_{source}.wav names."""
+    sources = set()
+    angle_dir = os.path.join(binaural_rir_dir, "0")
+    for fname in os.listdir(angle_dir):
+        if fname.endswith(".wav"):
+            sources.add(int(fname[:-4].split("_")[1]))
+    return np.array(sorted(sources), np.int32)
+
+
+def build_env(
+    cfg: ExperimentConfig,
+    assets: SceneAssets | None = None,
+    episodes: EpisodeBank | None = None,
+    num_envs: int | None = None,
+    sequential: bool = False,
+) -> AudioNavEnv:
+    assets = assets or build_assets(cfg)
+    scene = DeviceScene.from_assets(assets)
+    if episodes is None:
+        if cfg.data.episode_split_path:
+            from soundspaces_tpu.datasets import AudioNavDataset, episodes_to_bank
+
+            ds = AudioNavDataset.from_split(cfg.data.episode_split_path)
+            sounds, names = load_source_sounds(
+                cfg.data.source_sound_dir, cfg.data.sampling_rate
+            )
+            episodes = episodes_to_bank(
+                ds.episodes, assets.graph, assets.acoustics,
+                {n: i for i, n in enumerate(names)},
+            )
+        else:
+            episodes = make_episode_bank(
+                assets, cfg.data.num_episodes, seed=cfg.data.seed + 1,
+                min_geodesic_hops=1,
+            )
+    env_cfg = cfg.env
+    if sequential:
+        import dataclasses
+
+        env_cfg = dataclasses.replace(env_cfg, episode_sampling="sequential")
+    return AudioNavEnv(
+        env_cfg, scene, episodes, num_envs or cfg.trainer.num_envs
+    )
+
+
+def build_trainer(cfg: ExperimentConfig, mesh=None):
+    trainer_cls = registry.get_trainer(cfg.trainer_name)
+    assets = build_assets(cfg)
+    env = build_env(cfg, assets)
+    eval_env = build_env(
+        cfg, assets, num_envs=cfg.trainer.num_envs, sequential=True
+    )
+    return trainer_cls(cfg.trainer, cfg.ppo, env, eval_env=eval_env, mesh=mesh)

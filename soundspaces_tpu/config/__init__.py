@@ -1,0 +1,8 @@
+from soundspaces_tpu.config.experiment import (
+    DataConfig,
+    EvalConfig,
+    ExperimentConfig,
+    get_config,
+)
+
+__all__ = ["DataConfig", "EvalConfig", "ExperimentConfig", "get_config"]

@@ -1,0 +1,127 @@
+"""Experiment configuration: yaml -> frozen dataclass tree.
+
+Plays the role of the reference's two-level yacs system — experiment node _C
+grafting a task node _TC (ss_baselines/av_nav/config/default.py:25-254) —
+with plain frozen dataclasses instead of a mutable global tree. Merge order
+matches the reference: dataclass defaults <- yaml file <- dotted CLI opts
+(`a.b.c=value` pairs, the reference's CMD_TRAILING_OPTS)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+from soundspaces_tpu.env.structs import EnvConfig
+from soundspaces_tpu.train.ppo import PPOConfig
+from soundspaces_tpu.train.trainer import TrainerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Where scene assets come from. `synthetic` generates procedural assets
+    (scene/synthetic.py); otherwise point at reference-format data dirs
+    (metadata graph.pkl, binaural RIR wavs, sound wavs, frame cache pkl)."""
+
+    synthetic: bool = True
+    # synthetic knobs
+    num_nodes_hint: int = 100
+    num_goals: int = 4
+    num_sounds: int = 2
+    max_secs: int = 2
+    image_size: int = 128
+    modalities: tuple[str, ...] = ("depth",)
+    seed: int = 0
+    # real-data paths (reference layouts)
+    metadata_dir: str = ""
+    binaural_rir_dir: str = ""
+    source_sound_dir: str = ""
+    scene_observation_file: str = ""
+    episode_split_path: str = ""
+    # audio
+    sampling_rate: int = 16000
+    rir_max_len: int = 8000
+    grid_size: float = 0.5
+    # episodes (synthetic)
+    num_episodes: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    split: str = "val"
+    episode_count: int = 500
+    deterministic: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    trainer_name: str = "AVNavTrainer"
+    env_name: str = "AudioNavEnv"
+    model_dir: str = "data/models/run"
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
+    env: EnvConfig = dataclasses.field(default_factory=EnvConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    if target_type is tuple or str(target_type).startswith("tuple"):
+        return tuple(value) if isinstance(value, (list, tuple)) else (value,)
+    return value
+
+
+def _merge(cfg: Any, updates: dict[str, Any]) -> Any:
+    """Recursively dataclasses.replace with a nested dict of overrides."""
+    fields = {f.name: f for f in dataclasses.fields(cfg)}
+    kwargs = {}
+    for key, value in updates.items():
+        if key not in fields:
+            raise KeyError(
+                f"unknown config key {key!r} for {type(cfg).__name__}; "
+                f"known: {sorted(fields)}"
+            )
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _merge(current, value)
+        else:
+            kwargs[key] = _coerce(value, type(current))
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def _parse_opt_value(raw: str) -> Any:
+    try:
+        value = yaml.safe_load(raw)
+    except yaml.YAMLError:
+        return raw
+    if isinstance(value, str):
+        # YAML 1.1 won't read "5e-5" as a float; people type it anyway
+        try:
+            return float(value)
+        except ValueError:
+            return value
+    return value
+
+
+def get_config(
+    yaml_path: str | None = None, opts: list[str] | None = None
+) -> ExperimentConfig:
+    """Build the config tree: defaults <- yaml <- "a.b=c" opt pairs."""
+    cfg = ExperimentConfig()
+    if yaml_path:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _merge(cfg, data)
+    for opt in opts or []:
+        key, _, raw = opt.partition("=")
+        assert raw, f"opt {opt!r} must look like a.b.c=value"
+        node: dict[str, Any] = {}
+        leaf = node
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            leaf[p] = {}
+            leaf = leaf[p]
+        leaf[parts[-1]] = _parse_opt_value(raw.strip())
+        cfg = _merge(cfg, node)
+    return cfg

@@ -9,6 +9,13 @@ soundspaces/tasks/nav.py:108-232) — but the implementation is an array
 program: graph moves are int gathers, audio is a batched frequency-domain
 kernel, measures are carried accumulators, auto-reset is a masked update.
 
+Design note: the scene/episode banks are PASSED AS PYTREE ARGUMENTS to every
+jitted function rather than closed over. Closure-captured device arrays get
+baked into the compiled executable as constants — which both duplicates the
+(gigabyte-scale) RIR bank per executable and forces a device->host readback
+at trace time. As arguments they stay put in HBM and are shared by every
+program that uses them.
+
 One deliberate semantic choice: the reference advances its sliding audio
 window only on observation-cache misses (simulator.py:678-688), an artifact
 of per-process caching; we advance it every step (the reference's own
@@ -31,9 +38,13 @@ from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGH
 
 
 class AudioNavEnv:
-    """Batched AudioGoal environment. All methods are functional; the class
-    only holds static config + device scene/episode banks (closure captures,
-    hashable for jit)."""
+    """Batched AudioGoal environment.
+
+    The instance holds static config plus the default scene/episode banks;
+    all computation lives in pure methods `reset_pure` / `step_pure` that
+    take the banks as explicit arguments, so they compose into larger jitted
+    programs (rollout scans, shard_map shards) without constant-capture.
+    """
 
     def __init__(
         self,
@@ -46,24 +57,32 @@ class AudioNavEnv:
         self.scene = scene
         self.episodes = episodes
         self.num_envs = num_envs
-        self._reset_batch = jax.jit(jax.vmap(self._reset_one, in_axes=(0, 0)))
-        # note: no buffer donation — state leaves may legitimately alias
-        # (e.g. node == start_node right after auto-reset), and the state is
-        # a few dozen scalars per env anyway.
-        self._step_batch = jax.jit(jax.vmap(self._step_one, in_axes=(0, 0)))
+        self._reset_jit = jax.jit(self.reset_pure)
+        self._step_jit = jax.jit(self.step_pure)
 
     # ------------------------------------------------------------- public API
     def reset(self, rng: jax.Array):
         """rng: PRNG key. Returns (state, obs) with leading axis num_envs."""
         keys = jax.random.split(rng, self.num_envs)
         env_ids = jnp.arange(self.num_envs, dtype=jnp.int32)
-        return self._reset_batch(keys, env_ids)
+        return self._reset_jit(self.scene, self.episodes, keys, env_ids)
 
     def step(self, state: EnvState, actions: jax.Array):
         """actions: [num_envs] int32. Returns (state, obs, reward, done, info);
         done envs are auto-reset (obs comes from the new episode, reward/info
         from the finished one)."""
-        return self._step_batch(state, actions)
+        return self._step_jit(self.scene, self.episodes, state, actions)
+
+    # ----------------------------------------------------- pure batched forms
+    def reset_pure(self, scene, episodes, keys, env_ids):
+        return jax.vmap(self._reset_one, in_axes=(None, None, 0, 0))(
+            scene, episodes, keys, env_ids
+        )
+
+    def step_pure(self, scene, episodes, state, actions):
+        return jax.vmap(self._step_one, in_axes=(None, None, 0, 0))(
+            scene, episodes, state, actions
+        )
 
     @property
     def observation_shapes(self) -> dict[str, tuple[int, ...]]:
@@ -90,15 +109,15 @@ class AudioNavEnv:
         return shapes
 
     # ------------------------------------------------------------ single env
-    def _episode_index(self, rng, ep_ptr):
+    def _episode_index(self, episodes, rng, ep_ptr):
         if self.config.episode_sampling == "sequential":
-            return ep_ptr % self.episodes.num_episodes
-        return jax.random.randint(rng, (), 0, self.episodes.num_episodes)
+            return ep_ptr % episodes.num_episodes
+        return jax.random.randint(rng, (), 0, episodes.num_episodes)
 
-    def _load_episode(self, state_rng, ep_ptr) -> EnvState:
-        ep = self.episodes
+    def _load_episode(self, episodes, state_rng, ep_ptr) -> EnvState:
+        ep = episodes
         rng, sub = jax.random.split(state_rng)
-        i = self._episode_index(sub, ep_ptr)
+        i = self._episode_index(ep, sub, ep_ptr)
         geo = ep.geodesic[i]
         return EnvState(
             node=ep.start_node[i],
@@ -124,13 +143,12 @@ class AudioNavEnv:
             rng=rng,
         )
 
-    def _reset_one(self, rng, env_id):
-        state = self._load_episode(rng, env_id)
-        return state, self._observe(state)
+    def _reset_one(self, scene, episodes, rng, env_id):
+        state = self._load_episode(episodes, rng, env_id)
+        return state, self._observe(scene, state)
 
-    def _step_one(self, state: EnvState, action: jax.Array):
+    def _step_one(self, scene, episodes, state: EnvState, action: jax.Array):
         cfg = self.config
-        scene = self.scene
 
         is_stop = action == STOP
         is_fwd = action == MOVE_FORWARD
@@ -192,43 +210,43 @@ class AudioNavEnv:
             num_actions=num_actions,
             collided=collided,
         )
-        fresh = self._load_episode(state.rng, state.ep_ptr)
+        fresh = self._load_episode(episodes, state.rng, state.ep_ptr)
         new_state = jax.tree.map(
             lambda a, b: jnp.where(done, a, b), fresh, continued
         )
-        return new_state, self._observe(new_state), reward, done, info
+        return new_state, self._observe(scene, new_state), reward, done, info
 
     # -------------------------------------------------------------- sensors
-    def _observe(self, state: EnvState) -> dict[str, jax.Array]:
-        cfg, scene = self.config, self.scene
+    def _observe(self, scene, state: EnvState) -> dict[str, jax.Array]:
+        cfg = self.config
         obs: dict[str, jax.Array] = {}
         need_audio = ("spectrogram" in cfg.sensors) or ("audiogoal" in cfg.sensors)
         if need_audio:
-            audiogoal = self._audiogoal(state)
+            audiogoal = self._audiogoal(scene, state)
             if "audiogoal" in cfg.sensors:
                 obs["audiogoal"] = audiogoal
             if "spectrogram" in cfg.sensors:
                 obs["spectrogram"] = spectrogram(audiogoal)
         for name in cfg.sensors:
             if name in scene.frames:
-                frame = scene.frames[name][state.node, state.rot_idx]
-                obs[name] = frame
+                obs[name] = scene.frames[name][state.node, state.rot_idx]
             elif name == "pose":
-                obs[name] = self._pose(state)
+                obs[name] = self._pose(scene, state)
             elif name == "category":
                 obs[name] = jax.nn.one_hot(state.category, cfg.num_categories)
             elif name == "collision":
                 obs[name] = state.collided.astype(jnp.float32)[None]
             elif name == "pointgoal_with_gps_compass":
-                obs[name] = self._pointgoal(state)
+                obs[name] = self._pointgoal(scene, state)
             elif name == "oracle_action":
-                obs[name] = self._oracle_action(state)[None].astype(jnp.float32)
+                obs[name] = self._oracle_action(scene, state)[None].astype(
+                    jnp.float32
+                )
         return obs
 
-    def _audiogoal(self, state: EnvState) -> jax.Array:
+    def _audiogoal(self, scene, state: EnvState) -> jax.Array:
         """Binaural waveform [2, sr]: gather the pose's RIR, convolve with the
         precomputed source-segment spectrum (simulator.py:608-647)."""
-        scene = self.scene
         az_idx = (4 - state.rot_idx) % 4  # azimuth = -rotation (simulator.py:573)
         rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
         seg = scene.seg_fft[state.sound_id, state.audio_index]  # [F]
@@ -239,10 +257,9 @@ class AudioNavEnv:
         audible = state.step_count <= state.duration_sec
         return jnp.where(audible, audio, 0.0)
 
-    def _pose(self, state: EnvState) -> jax.Array:
+    def _pose(self, scene, state: EnvState) -> jax.Array:
         """(x, y, heading, t) in the episode-start frame, the SAVi PoseSensor
         (soundspaces/tasks/nav.py:700-774)."""
-        scene = self.scene
         delta = scene.points[state.node] - scene.points[state.start_node]
         # rotate world delta into the start heading frame
         a0 = jnp.deg2rad(90.0 * state.start_rot_idx.astype(jnp.float32))
@@ -255,10 +272,9 @@ class AudioNavEnv:
         t = state.step_count.astype(jnp.float32)
         return jnp.stack([x, z, heading, t])
 
-    def _pointgoal(self, state: EnvState) -> jax.Array:
+    def _pointgoal(self, scene, state: EnvState) -> jax.Array:
         """(rho, phi): goal in the agent's polar frame (habitat
         PointGoalWithGPSCompass convention)."""
-        scene = self.scene
         delta = scene.points[state.goal_node] - scene.points[state.node]
         rho = jnp.linalg.norm(jnp.stack([delta[0], delta[2]]))
         # agent orientation: (270 - 90*rot) degrees in mesh frame
@@ -267,10 +283,9 @@ class AudioNavEnv:
         phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
         return jnp.stack([rho, phi])
 
-    def _oracle_action(self, state: EnvState) -> jax.Array:
+    def _oracle_action(self, scene, state: EnvState) -> jax.Array:
         """Greedy shortest-path action (simulator.py:725-751): STOP at goal,
         FORWARD if facing the next hop, else the shorter turn toward it."""
-        scene = self.scene
         nxt = scene.oracle_next[state.node, state.goal_node]
         at_goal = state.node == state.goal_node
         # rotation index that faces nxt

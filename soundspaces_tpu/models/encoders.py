@@ -35,6 +35,10 @@ class _ConvStack(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # [B, H, W, C]
         for i, (ch, k, s) in enumerate(zip(self.channels, self.kernels, self.strides)):
+            # clamp to the running spatial extent so sub-benchmark-size test
+            # inputs degrade gracefully instead of underflowing to 0 px
+            k = (min(k[0], x.shape[1]), min(k[1], x.shape[2]))
+            s = (min(s[0], k[0]), min(s[1], k[1]))
             x = nn.Conv(ch, k, s, padding="VALID", kernel_init=_KAIMING)(x)
             if i < len(self.channels) - 1:
                 x = nn.relu(x)
@@ -57,11 +61,13 @@ class VisualCNN(nn.Module):
         if "depth" in observations:
             parts.append(observations["depth"])
         x = jnp.concatenate(parts, axis=-1)
-        return _ConvStack(
-            kernels=((8, 8), (4, 4), (3, 3)),
-            strides=((4, 4), (2, 2), (2, 2)),
-            output_size=self.output_size,
-        )(x)
+        # adapt to small frames like the audio stack does (the reference's
+        # image path assumes >= 128 px and would underflow below ~50 px)
+        if x.shape[1] < 50 or x.shape[2] < 50:
+            kernels, strides = ((5, 5), (3, 3), (3, 3)), ((2, 2), (2, 2), (1, 1))
+        else:
+            kernels, strides = ((8, 8), (4, 4), (3, 3)), ((4, 4), (2, 2), (2, 2))
+        return _ConvStack(kernels, strides, self.output_size)(x)
 
 
 class AudioCNN(nn.Module):

@@ -21,7 +21,7 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
-def _dft_conv_kernel(n_fft: int, win_length: int, dtype_name: str) -> jax.Array:
+def _dft_conv_kernel(n_fft: int, win_length: int, dtype_name: str) -> np.ndarray:
     """Real/imag windowed-DFT basis as a conv kernel [n_fft, 1, 2*(n_fft//2+1)].
 
     kernel[n, 0, f]        =  win[n] * cos(2*pi*f*n/n_fft)
@@ -40,8 +40,10 @@ def _dft_conv_kernel(n_fft: int, win_length: int, dtype_name: str) -> jax.Array:
     ang = 2.0 * np.pi * idx_f * idx_n / n_fft
     real = window[:, None] * np.cos(ang)
     imag = -window[:, None] * np.sin(ang)
+    # cache host-side numpy (never a traced value — a jnp array created inside
+    # a jit/shard_map trace must not be cached across traces)
     kernel = np.concatenate([real, imag], axis=1)[:, None, :]  # [n_fft, 1, 2F]
-    return jnp.asarray(kernel, dtype=jnp.dtype(dtype_name))
+    return kernel.astype(np.dtype(dtype_name))
 
 
 def stft_magnitude(

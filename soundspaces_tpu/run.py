@@ -1,0 +1,94 @@
+"""CLI: train / eval / benchmark an experiment.
+
+Surface mirrors the reference's run scripts
+(ss_baselines/av_nav/run.py:24-101):
+
+    python -m soundspaces_tpu.run --run-type train \
+        --exp-config configs/audiogoal_depth.yaml \
+        --model-dir data/models/telephone [a.b.c=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--run-type", choices=["train", "eval", "benchmark"], default="train"
+    )
+    parser.add_argument("--exp-config", type=str, default=None)
+    parser.add_argument("--model-dir", type=str, default=None)
+    parser.add_argument("--eval-checkpoint", type=str, default=None)
+    parser.add_argument("--force-cpu", action="store_true")
+    parser.add_argument(
+        "opts", nargs=argparse.REMAINDER,
+        help="dotted overrides, e.g. ppo.lr=1e-4 trainer.num_envs=64",
+    )
+    args = parser.parse_args(argv)
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from soundspaces_tpu import trainers  # noqa: F401  (registry side effects)
+    from soundspaces_tpu.builder import build_trainer
+    from soundspaces_tpu.config import get_config
+    from soundspaces_tpu.train.trainer import latest_checkpoint
+
+    cfg = get_config(args.exp_config, args.opts)
+    if args.model_dir:
+        cfg = dataclasses.replace(
+            cfg,
+            model_dir=args.model_dir,
+            trainer=dataclasses.replace(
+                cfg.trainer,
+                checkpoint_folder=os.path.join(args.model_dir, "ckpts"),
+            ),
+        )
+    os.makedirs(cfg.model_dir, exist_ok=True)
+
+    trainer = build_trainer(cfg)
+    log_path = os.path.join(cfg.model_dir, "train.log")
+
+    def log_fn(update, metrics):
+        line = json.dumps({"update": update, **metrics})
+        print(line, flush=True)
+        with open(log_path, "a") as f:
+            f.write(line + "\n")
+
+    if args.run_type == "train":
+        resume = latest_checkpoint(cfg.trainer.checkpoint_folder)
+        trainer.train(
+            jax.random.PRNGKey(cfg.trainer.seed), log_fn=log_fn,
+            resume_from=resume,
+        )
+    elif args.run_type == "eval":
+        ckpt = args.eval_checkpoint or latest_checkpoint(
+            cfg.trainer.checkpoint_folder
+        )
+        params, opt_state, carry = trainer.init_state(
+            jax.random.PRNGKey(cfg.trainer.seed)
+        )
+        if ckpt:
+            params, _, _ = trainer.load_checkpoint(ckpt, params, opt_state)
+        stats = trainer.evaluate(params, num_episodes=cfg.eval.episode_count)
+        print(json.dumps(stats))
+        with open(
+            os.path.join(cfg.model_dir, f"{cfg.eval.split}_stats.json"), "w"
+        ) as f:
+            json.dump(stats, f)
+    else:  # benchmark: scripted agents (simple_agents equivalent)
+        from soundspaces_tpu.eval.benchmark import run_benchmark
+
+        stats = run_benchmark(cfg)
+        print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

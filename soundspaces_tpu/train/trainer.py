@@ -1,0 +1,295 @@
+"""PPO trainer: the train()/eval() surface of the reference's
+BaseRLTrainer/PPOTrainer (ss_baselines/common/base_trainer.py:21-241,
+av_nav/ppo/ppo_trainer.py:44-693), rebuilt around a single jitted train step.
+
+Structure per update:
+    [jit] rollout scan (T steps, N envs, on device)
+        -> GAE -> ppo_epoch x minibatch updates -> new params
+Host work is only: schedule bookkeeping, metric fetch (scalars), logging,
+checkpointing (orbax), and eval-time aggregation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from soundspaces_tpu.env.audionav import AudioNavEnv
+from soundspaces_tpu.models.policy import AudioNavBaselineNet, CategoricalPolicy
+from soundspaces_tpu.train.ppo import PPOConfig, ppo_update
+from soundspaces_tpu.train.rollout import RolloutCarry, collect_rollout
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Experiment-level knobs (reference _C node, av_nav/config/default.py)."""
+
+    num_updates: int = 10000
+    num_envs: int = 16
+    log_interval: int = 10
+    checkpoint_interval: int = 50
+    checkpoint_folder: str = "data/checkpoints"
+    seed: int = 0
+    deterministic_eval: bool = False
+    test_episode_count: int = 100
+    use_visual: bool = True
+    use_audio: bool = True
+    use_pointgoal: bool = False
+
+
+class PPOTrainer:
+    def __init__(
+        self,
+        trainer_cfg: TrainerConfig,
+        ppo_cfg: PPOConfig,
+        env: AudioNavEnv,
+        eval_env: AudioNavEnv | None = None,
+        mesh=None,
+    ):
+        self.cfg = trainer_cfg
+        self.ppo = ppo_cfg
+        self.env = env
+        self.eval_env = eval_env
+        self.mesh = mesh
+
+        net = AudioNavBaselineNet(
+            hidden_size=ppo_cfg.hidden_size,
+            use_visual=trainer_cfg.use_visual,
+            use_audio=trainer_cfg.use_audio,
+            use_pointgoal=trainer_cfg.use_pointgoal,
+        )
+        self.policy = CategoricalPolicy(net=net, num_actions=env.config.num_actions)
+
+        if ppo_cfg.use_linear_lr_decay:
+            schedule = optax.linear_schedule(
+                ppo_cfg.lr, 0.0,
+                trainer_cfg.num_updates
+                * ppo_cfg.ppo_epoch
+                * ppo_cfg.num_mini_batch,
+            )
+        else:
+            schedule = ppo_cfg.lr
+        self.optimizer = optax.adam(schedule, eps=ppo_cfg.eps)
+
+        self._train_step = None  # built lazily (needs params structure)
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, rng: jax.Array):
+        """Returns (params, opt_state, carry): initialized model + env reset."""
+        rng, env_key, param_key = jax.random.split(rng, 3)
+        env_state, obs = self.env.reset(env_key)
+        hidden = jnp.zeros((self.env.num_envs, self.ppo.hidden_size), jnp.float32)
+        params = self.policy.init(
+            param_key, obs, hidden, jnp.ones(self.env.num_envs)
+        )
+        opt_state = self.optimizer.init(params)
+        carry = RolloutCarry(
+            env_state=env_state,
+            obs=obs,
+            hidden=hidden,
+            prev_done=jnp.zeros(self.env.num_envs, bool),
+            rng=rng,
+        )
+        return params, opt_state, carry
+
+    # ------------------------------------------------------------- train step
+    def _policy_act(self, params, obs, hidden, masks, rng, deterministic=False):
+        return self.policy.apply(
+            params, obs, hidden, masks, rng, deterministic,
+            method=self.policy.act,
+        )
+
+    def _policy_evaluate(self, params, obs, hidden, masks, actions):
+        return self.policy.apply(
+            params, obs, hidden, masks, actions,
+            method=self.policy.evaluate_actions,
+        )
+
+    def make_train_step(self, axis_name: str | None = None) -> Callable:
+        """One full PPO update as a pure function
+        (params, opt_state, carry, rng, clip_param, scene, episodes) ->
+        (params, opt_state, carry, metrics). The banks are explicit args —
+        never jit constants (see env/audionav.py design note)."""
+
+        def step(params, opt_state, carry, rng, clip_param, scene, episodes):
+            carry, rollout = collect_rollout(
+                self._policy_act, params, self.env, scene, episodes, carry,
+                self.ppo.num_steps,
+            )
+            params, opt_state, losses = ppo_update(
+                params,
+                opt_state,
+                self.optimizer,
+                self._policy_evaluate,
+                rollout,
+                rng,
+                self.ppo,
+                clip_param,
+                axis_name=axis_name,
+            )
+            done_f = rollout.dones.astype(jnp.float32)
+            n_done = jnp.maximum(done_f.sum(), 1.0)
+            metrics = {
+                "reward": rollout.rewards.sum(0).mean(),
+                "episodes": done_f.sum(),
+                **{
+                    k: (v * done_f).sum() / n_done
+                    for k, v in rollout.infos.items()
+                },
+                **losses,
+            }
+            if axis_name is not None:
+                metrics = jax.lax.pmean(metrics, axis_name)
+            return params, opt_state, carry, metrics
+
+        return step
+
+    # ------------------------------------------------------------------ train
+    def train(
+        self,
+        rng: jax.Array | None = None,
+        num_updates: int | None = None,
+        log_fn: Callable[[int, dict], None] | None = None,
+        resume_from: str | None = None,
+    ):
+        cfg, ppo = self.cfg, self.ppo
+        num_updates = num_updates or cfg.num_updates
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        params, opt_state, carry = self.init_state(rng)
+        start_update = 0
+        if resume_from:
+            params, opt_state, start_update = self.load_checkpoint(
+                resume_from, params, opt_state
+            )
+
+        step_fn = jax.jit(self.make_train_step())
+        window: list[float] = []
+        t0 = time.time()
+        steps_per_update = ppo.num_steps * self.env.num_envs
+        for update in range(start_update, num_updates):
+            rng, key = jax.random.split(rng)
+            frac = 1.0 - update / cfg.num_updates
+            clip = ppo.clip_param * (frac if ppo.use_linear_clip_decay else 1.0)
+            params, opt_state, carry, metrics = step_fn(
+                params, opt_state, carry, key, jnp.float32(clip),
+                self.env.scene, self.env.episodes,
+            )
+            if (update + 1) % cfg.log_interval == 0 or update == num_updates - 1:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                window.append(m["reward"])
+                window = window[-ppo.reward_window_size :]
+                m["reward_window"] = float(np.mean(window))
+                m["fps"] = steps_per_update * (update + 1 - start_update) / (
+                    time.time() - t0
+                )
+                if log_fn:
+                    log_fn(update, m)
+            if (update + 1) % cfg.checkpoint_interval == 0:
+                self.save_checkpoint(params, opt_state, update + 1)
+        return params, opt_state, carry
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(
+        self,
+        params,
+        num_episodes: int | None = None,
+        rng: jax.Array | None = None,
+        max_steps: int | None = None,
+    ) -> dict[str, float]:
+        """Run `num_episodes` episodes on the eval env (sequential episode
+        iteration) and average the end-of-episode measures — the
+        _eval_checkpoint loop (av_nav/ppo/ppo_trainer.py:399-693) without
+        process pausing: finished envs simply keep cycling and we stop
+        counting after the target episode count."""
+        env = self.eval_env or self.env
+        num_episodes = num_episodes or self.cfg.test_episode_count
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        rng, reset_key = jax.random.split(rng)
+        state, obs = env.reset(reset_key)
+        hidden = jnp.zeros((env.num_envs, self.ppo.hidden_size), jnp.float32)
+        prev_done = jnp.zeros(env.num_envs, bool)
+
+        @jax.jit
+        def eval_step(scene, episodes, params, state, obs, hidden, prev_done, key):
+            masks = 1.0 - prev_done.astype(jnp.float32)
+            action, _, _, hidden = self._policy_act(
+                params, obs, hidden, masks, key,
+                deterministic=self.cfg.deterministic_eval,
+            )
+            state, obs, _, done, info = env.step_pure(
+                scene, episodes, state, action
+            )
+            return state, obs, hidden, done, info
+
+        totals: dict[str, float] = {}
+        count = 0
+        max_steps = max_steps or (
+            env.config.max_episode_steps * (num_episodes // env.num_envs + 2)
+        )
+        for _ in range(max_steps):
+            rng, key = jax.random.split(rng)
+            state, obs, hidden, done, info = eval_step(
+                env.scene, env.episodes, params, state, obs, hidden, prev_done, key
+            )
+            prev_done = done
+            d = np.asarray(done)
+            if d.any():
+                fetched = jax.device_get(info)
+                for i in np.nonzero(d)[0]:
+                    if count >= num_episodes:
+                        break
+                    count += 1
+                    for k, v in fetched.items():
+                        totals[k] = totals.get(k, 0.0) + float(v[i])
+            if count >= num_episodes:
+                break
+        return {k: v / max(count, 1) for k, v in totals.items()} | {
+            "episode_count": float(count)
+        }
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, params, opt_state, update: int):
+        """ckpt.{i} with model + optimizer + step, like the reference's
+        ckpt.{i}.pth dicts (ppo_trainer.py:91-106)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.cfg.checkpoint_folder, f"ckpt.{update}")
+        )
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(
+            path,
+            {"params": params, "opt_state": opt_state, "update": update},
+            force=True,
+        )
+        return path
+
+    def load_checkpoint(self, path: str, params, opt_state):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        restored = ckpt.restore(
+            os.path.abspath(path),
+            item={"params": params, "opt_state": opt_state, "update": 0},
+        )
+        return restored["params"], restored["opt_state"], restored["update"]
+
+
+def latest_checkpoint(folder: str) -> str | None:
+    """Newest ckpt.{i} in a folder (poll_checkpoint_folder,
+    ss_baselines/common/utils.py:156-181)."""
+    if not os.path.isdir(folder):
+        return None
+    cands = [f for f in os.listdir(folder) if f.startswith("ckpt.")]
+    if not cands:
+        return None
+    cands.sort(key=lambda f: int(f.split(".")[1]))
+    return os.path.join(folder, cands[-1])

@@ -1,0 +1,124 @@
+"""Config system, registry, scripted-agent benchmark, and the CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from soundspaces_tpu.config import ExperimentConfig, get_config
+
+
+def test_defaults():
+    cfg = ExperimentConfig()
+    assert cfg.ppo.clip_param == 0.1
+    assert cfg.env.success_reward == 10.0
+    assert cfg.trainer_name == "AVNavTrainer"
+
+
+def test_yaml_and_opts_merge(tmp_path):
+    p = tmp_path / "exp.yaml"
+    p.write_text(
+        "trainer_name: PPOTrainer\n"
+        "ppo:\n  lr: 1.0e-4\n  num_steps: 32\n"
+        "env:\n  sensors: [spectrogram]\n"
+        "data:\n  sampling_rate: 44100\n"
+    )
+    cfg = get_config(str(p), opts=["ppo.lr=5e-5", "trainer.num_envs=8"])
+    assert cfg.trainer_name == "PPOTrainer"
+    assert cfg.ppo.num_steps == 32
+    assert cfg.ppo.lr == pytest.approx(5e-5)  # opts win over yaml
+    assert cfg.trainer.num_envs == 8
+    assert cfg.env.sensors == ("spectrogram",)
+    assert cfg.data.sampling_rate == 44100
+
+
+def test_unknown_key_rejected(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("ppo:\n  learning_rate: 1.0e-4\n")
+    with pytest.raises(KeyError, match="learning_rate"):
+        get_config(str(p))
+
+
+def test_registry():
+    import soundspaces_tpu.trainers  # noqa: F401
+    from soundspaces_tpu.train.trainer import PPOTrainer
+    from soundspaces_tpu.utils import registry
+
+    assert registry.get_trainer("AVNavTrainer") is PPOTrainer
+    with pytest.raises(KeyError, match="known"):
+        registry.get_trainer("NoSuchTrainer")
+
+
+@pytest.fixture(scope="module")
+def bench_env():
+    import dataclasses
+
+    from soundspaces_tpu.builder import build_env
+    from soundspaces_tpu.config import DataConfig, ExperimentConfig
+    from soundspaces_tpu.env.structs import EnvConfig
+
+    cfg = ExperimentConfig(
+        data=DataConfig(
+            num_nodes_hint=30, sampling_rate=4000, rir_max_len=800,
+            image_size=16, num_episodes=64,
+        ),
+        env=EnvConfig(
+            sensors=("spectrogram", "pointgoal_with_gps_compass", "oracle_action"),
+            max_episode_steps=30,
+            episode_sampling="sequential",
+        ),
+    )
+    return build_env(cfg, num_envs=4)
+
+
+def test_scripted_agents_ranking(bench_env):
+    """Oracle must dominate; goal-follower must beat random — the qualitative
+    ordering the reference's simple-agent benchmark exhibits."""
+    from soundspaces_tpu.eval import Benchmark
+    from soundspaces_tpu.eval.agents import AGENTS
+
+    bench = Benchmark(bench_env)
+    oracle = bench.evaluate(AGENTS["oracle"], num_episodes=12)
+    random = bench.evaluate(AGENTS["random"], num_episodes=12)
+    follower = bench.evaluate(AGENTS["goal_follower"], num_episodes=12)
+    assert oracle["success"] == pytest.approx(1.0)
+    assert oracle["spl"] == pytest.approx(1.0, abs=1e-5)
+    assert oracle["success"] >= follower["success"] >= 0.0
+    assert oracle["distance_to_goal"] <= random["distance_to_goal"] + 1e-6
+
+
+def test_cli_train_smoke(tmp_path):
+    """python -m soundspaces_tpu.run --run-type train on a tiny synthetic
+    world: writes logs + checkpoints."""
+    from soundspaces_tpu.run import main
+
+    exp = tmp_path / "exp.yaml"
+    exp.write_text(
+        "trainer:\n  num_updates: 2\n  num_envs: 2\n  log_interval: 1\n"
+        "  checkpoint_interval: 2\n"
+        "ppo:\n  num_steps: 4\n  hidden_size: 16\n  ppo_epoch: 1\n"
+        "  num_mini_batch: 1\n"
+        "env:\n  sensors: [spectrogram, depth]\n  max_episode_steps: 10\n"
+        "data:\n  num_nodes_hint: 20\n  sampling_rate: 4000\n"
+        "  rir_max_len: 600\n  image_size: 16\n  num_episodes: 32\n"
+    )
+    model_dir = tmp_path / "run1"
+    main([
+        "--run-type", "train", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+    ])
+    assert (model_dir / "train.log").exists()
+    lines = [json.loads(l) for l in (model_dir / "train.log").read_text().splitlines()]
+    assert len(lines) >= 2 and np.isfinite(lines[-1]["reward"])
+    ckpts = os.listdir(model_dir / "ckpts")
+    assert any(c.startswith("ckpt.") for c in ckpts)
+
+    # eval from the written checkpoint
+    main([
+        "--run-type", "eval", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+        "eval.episode_count=4",
+    ])
+    stats = json.loads((model_dir / "val_stats.json").read_text())
+    assert stats["episode_count"] == 4.0

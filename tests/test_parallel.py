@@ -1,0 +1,130 @@
+"""Data-parallel (shard_map over 8-CPU mesh) training step — the multi-chip
+path the driver also exercises via __graft_entry__.dryrun_multichip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+from soundspaces_tpu.scene import make_synthetic_assets
+from soundspaces_tpu.train import PPOConfig, PPOTrainer, TrainerConfig
+from soundspaces_tpu.train.parallel import (
+    DP_AXIS,
+    data_parallel_step,
+    make_mesh,
+    replicate,
+    shard_batch_env_axis,
+)
+
+
+@pytest.fixture(scope="module")
+def dp_setup():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    num_envs = 2 * n_dev
+    assets = make_synthetic_assets(
+        num_nodes_hint=30, sampling_rate=4000, rir_max_len=1000, image_size=16,
+        num_sounds=2, max_secs=2, seed=21,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 64, seed=22, min_geodesic_hops=2)
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "depth"), max_episode_steps=10),
+        scene, episodes, num_envs,
+    )
+    trainer = PPOTrainer(
+        TrainerConfig(num_envs=num_envs),
+        PPOConfig(num_steps=4, hidden_size=16, ppo_epoch=1, num_mini_batch=1),
+        env,
+    )
+    return trainer, num_envs
+
+
+def test_dp_train_step_runs_and_replicates(dp_setup):
+    trainer, num_envs = dp_setup
+    mesh = make_mesh()
+    params, opt_state, carry = trainer.init_state(jax.random.PRNGKey(0))
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, opt_state)
+    carry = shard_batch_env_axis(mesh, carry, num_envs)
+
+    step = jax.jit(
+        data_parallel_step(
+            mesh, trainer.make_train_step(axis_name=DP_AXIS), num_envs
+        )
+    )
+    p2, o2, carry2, metrics = step(
+        params, opt_state, carry, jax.random.PRNGKey(1), jnp.float32(0.1),
+        trainer.env.scene, trainer.env.episodes,
+    )
+    m = jax.device_get(metrics)
+    assert all(np.isfinite(v) for v in m.values())
+    # params must remain fully replicated (same value on all shards)
+    leaf = jax.tree.leaves(p2)[0]
+    assert leaf.sharding.is_fully_replicated
+    # carry keeps its env sharding
+    assert not carry2.hidden.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device_gradients(dp_setup):
+    """One DP step on 8 shards must equal the same step on one device (same
+    rollout data => pmean(grads) == global grad). We verify on a crafted
+    rollout where shard RNG does not matter: evaluate the update directly."""
+    trainer, num_envs = dp_setup
+    import optax
+    from soundspaces_tpu.train.ppo import ppo_update
+    from soundspaces_tpu.train.rollout import collect_rollout
+
+    params, opt_state, carry = trainer.init_state(jax.random.PRNGKey(3))
+    # single-device rollout as common data
+    env = trainer.env
+    carry, rollout = jax.jit(
+        lambda sc, ep, p, c: collect_rollout(
+            trainer._policy_act, p, env, sc, ep, c, 4
+        )
+    )(env.scene, env.episodes, params, carry)
+
+    p1, o1, m1 = jax.jit(
+        lambda p, o, r, k: ppo_update(
+            p, o, trainer.optimizer, trainer._policy_evaluate, r, k,
+            trainer.ppo, jnp.float32(0.1), axis_name=None,
+        )
+    )(params, opt_state, rollout, jax.random.PRNGKey(4))
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh()
+
+    # rollout leaves are time-major [T=4, N, ...] except initial_hidden
+    # [N, H] and last_value [N]; shard the env axis in both layouts
+    def spec(x):
+        if x.ndim >= 2 and x.shape[0] == 4 and x.shape[1] == num_envs:
+            return P(None, DP_AXIS)
+        return P(DP_AXIS, *([None] * (x.ndim - 1)))
+
+    ro_specs = jax.tree.map(spec, rollout)
+
+    def dp_fn(p, o, r, k):
+        return ppo_update(
+            p, o, trainer.optimizer, trainer._policy_evaluate, r, k,
+            trainer.ppo, jnp.float32(0.1), axis_name=DP_AXIS,
+        )
+
+    p2, o2, m2 = jax.jit(
+        shard_map(
+            dp_fn, mesh=mesh,
+            in_specs=(P(), P(), ro_specs, P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
+    )(params, opt_state, rollout, jax.random.PRNGKey(4))
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        ),
+        p1, p2,
+    )

@@ -1,0 +1,151 @@
+"""Training-layer behavior: GAE math, PPO update mechanics, and a smoke
+end-to-end train run on the synthetic scene."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+from soundspaces_tpu.scene import make_synthetic_assets
+from soundspaces_tpu.train import PPOConfig, PPOTrainer, TrainerConfig, compute_gae
+from soundspaces_tpu.train.rollout import collect_rollout
+
+
+def reference_gae(rewards, values, dones, last_value, gamma, tau):
+    """Straightforward numpy transcription of GAE with episode-boundary
+    masking (rollout_storage.py:112-130 semantics)."""
+    T, N = rewards.shape
+    adv = np.zeros((T, N))
+    gae = np.zeros(N)
+    next_v = last_value.copy()
+    for t in reversed(range(T)):
+        cont = 1.0 - dones[t]
+        delta = rewards[t] + gamma * next_v * cont - values[t]
+        gae = delta + gamma * tau * cont * gae
+        adv[t] = gae
+        next_v = values[t]
+    return adv, adv + values
+
+
+def test_gae_matches_reference(rng):
+    T, N = 12, 4
+    rewards = rng.standard_normal((T, N)).astype(np.float32)
+    values = rng.standard_normal((T, N)).astype(np.float32)
+    dones = rng.random((T, N)) < 0.2
+    last_value = rng.standard_normal(N).astype(np.float32)
+    adv, ret = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+        jnp.asarray(last_value), 0.99, 0.95,
+    )
+    want_adv, want_ret = reference_gae(rewards, values, dones, last_value, 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(adv), want_adv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), want_ret, rtol=1e-4, atol=1e-5)
+
+
+def test_gae_no_bootstrap_across_done():
+    """A terminal step's advantage must ignore the next value."""
+    rewards = jnp.asarray([[1.0], [0.0]])
+    values = jnp.asarray([[0.0], [5.0]])
+    dones = jnp.asarray([[True], [False]])
+    last_value = jnp.asarray([100.0])
+    adv, _ = compute_gae(rewards, values, dones, last_value, 0.99, 0.95)
+    assert float(adv[0, 0]) == pytest.approx(1.0)  # no 0.99*5 bootstrap
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    assets = make_synthetic_assets(
+        num_nodes_hint=30, sampling_rate=4000, rir_max_len=1200, image_size=32,
+        num_sounds=2, max_secs=2, seed=11,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 64, seed=12, min_geodesic_hops=2)
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "depth"), max_episode_steps=20),
+        scene, episodes, num_envs=4,
+    )
+    return env
+
+
+def make_trainer(env, **kw):
+    tc = TrainerConfig(num_envs=4, num_updates=8,
+                       checkpoint_folder="/tmp/ssfx_ckpt_test", **kw)
+    pc = PPOConfig(num_steps=8, hidden_size=32, ppo_epoch=2, num_mini_batch=2)
+    return PPOTrainer(tc, pc, env)
+
+
+def test_rollout_shapes(small_world):
+    env = small_world
+    tr = make_trainer(env)
+    params, _, carry = tr.init_state(jax.random.PRNGKey(0))
+    carry2, ro = jax.jit(
+        lambda sc, ep, p, c: collect_rollout(tr._policy_act, p, env, sc, ep, c, 8)
+    )(env.scene, env.episodes, params, carry)
+    assert ro.actions.shape == (8, 4)
+    assert ro.obs["spectrogram"].shape[:2] == (8, 4)
+    assert ro.masks.shape == (8, 4) and ro.last_value.shape == (4,)
+    # masks at t reflect dones at t-1
+    d = np.asarray(ro.dones)[:-1]
+    m = np.asarray(ro.masks)[1:]
+    np.testing.assert_allclose(m, 1.0 - d.astype(np.float32))
+
+
+def test_train_step_updates_params_and_runs(small_world):
+    env = small_world
+    tr = make_trainer(env)
+    params, opt_state, carry = tr.init_state(jax.random.PRNGKey(1))
+    step = jax.jit(tr.make_train_step())
+    p2, o2, carry2, metrics = step(
+        params, opt_state, carry, jax.random.PRNGKey(2), jnp.float32(0.1),
+        env.scene, env.episodes,
+    )
+    # params changed
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p2),
+    )
+    assert diff > 0
+    for key in ("action_loss", "value_loss", "entropy", "reward"):
+        assert np.isfinite(float(metrics[key])), key
+    assert float(metrics["entropy"]) > 0
+
+
+def test_short_training_improves_policy(small_world):
+    """A few updates on trivially-short episodes should not diverge and
+    should produce finite losses + a reward window. (Full learning curves are
+    bench territory; this is the smoke slice of the reference's golden-eval
+    strategy, SURVEY.md §4.)"""
+    env = small_world
+    tr = make_trainer(env)
+    logs = []
+    tr.cfg = tr.cfg  # frozen dataclass; use as-is
+    params, opt_state, carry = None, None, None
+    out = tr.train(
+        jax.random.PRNGKey(3), num_updates=6,
+        log_fn=lambda u, m: logs.append(m),
+    )
+    params = out[0]
+    assert logs, "expected log entries"
+    assert all(np.isfinite(m["action_loss"]) for m in logs)
+
+    # evaluate the (briefly trained) policy end to end
+    stats = tr.evaluate(params, num_episodes=8, max_steps=200)
+    assert stats["episode_count"] == 8
+    assert 0.0 <= stats["success"] <= 1.0
+    assert stats["distance_to_goal"] >= 0.0
+
+
+def test_checkpoint_roundtrip(small_world, tmp_path):
+    env = small_world
+    tr = make_trainer(env)
+    object.__setattr__(tr.cfg, "checkpoint_folder", str(tmp_path))
+    params, opt_state, carry = tr.init_state(jax.random.PRNGKey(4))
+    path = tr.save_checkpoint(params, opt_state, update=3)
+    p2, o2, upd = tr.load_checkpoint(path, params, opt_state)
+    assert upd == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        params, p2,
+    )
