@@ -33,6 +33,7 @@ TIMED_CALLS = 3
 
 def build_world():
     import jax
+    import jax.numpy as jnp
     from soundspaces_tpu.env import (
         AudioNavEnv,
         DeviceScene,
@@ -52,12 +53,29 @@ def build_world():
         modalities=("depth",),
         seed=0,
     )
-    scene = DeviceScene.from_assets(assets)
+    # bfloat16 RIR bank: halves HBM footprint + host->device upload (the
+    # convolution upcasts per-gather; production default for bandwidth)
+    scene = DeviceScene.from_assets(assets, rir_dtype=jnp.bfloat16)
     episodes = make_episode_bank(assets, 256, seed=1, min_geodesic_hops=2)
     env = AudioNavEnv(
         EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, NUM_ENVS
     )
     return assets, env
+
+
+def _fetch_scalar_with_retry(x, tries: int = 10, sleep_s: float = 15.0) -> float:
+    """D2H over the axon tunnel transiently fails (UNIMPLEMENTED) while bulk
+    uploads are still streaming; retry with backoff."""
+    import jax
+
+    last = None
+    for _ in range(tries):
+        try:
+            return float(x)
+        except Exception as e:  # pragma: no cover
+            last = e
+            time.sleep(sleep_s)
+    raise last
 
 
 def bench_tpu() -> float:
@@ -74,26 +92,43 @@ def bench_tpu() -> float:
             state, obs, reward, done, info = env.step_pure(
                 scene, episodes, state, actions
             )
-            return state, jnp.sum(obs["spectrogram"][:, 0, 0, 0])
+            # checksum must consume EVERY output element — a partial reduce
+            # lets XLA dead-code-eliminate most of the observation pipeline
+            chk = (
+                sum(jnp.sum(v) for v in obs.values())
+                + jnp.sum(reward)
+                + sum(jnp.sum(v) for v in info.values())
+            )
+            return state, chk
         keys = jax.random.split(key, SCAN_STEPS)
         state, sums = jax.lax.scan(body, state, keys)
         return state, jnp.sum(sums)
 
     k_steps = jax.jit(k_steps)
     scene, episodes = env.scene, env.episodes
+    # force the bank upload to finish before anything is timed
+    jax.block_until_ready((scene, episodes))
 
     state, obs = env.reset(jax.random.PRNGKey(0))
+    jax.block_until_ready(state)
     # warmup/compile
     state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(1))
-    float(chk)
+    jax.block_until_ready(chk)
 
     t0 = time.time()
     total = 0
     for i in range(TIMED_CALLS):
         state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(2 + i))
         total += NUM_ENVS * SCAN_STEPS
-    float(chk)  # sync
+    # device-side sync only: the axon tunnel's device->host path is flaky
+    # after large fused programs, and timing needs no transfers at all
+    jax.block_until_ready(chk)
     dt = time.time() - t0
+    try:
+        print(f"checksum: {_fetch_scalar_with_retry(chk, tries=2, sleep_s=5):.4f}",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"checksum fetch skipped (tunnel D2H flake): {e!r}", file=sys.stderr)
     return total / dt
 
 

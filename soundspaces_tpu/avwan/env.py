@@ -1,0 +1,343 @@
+"""Hierarchical waypoint navigation env (the MapNavEnv + Planner pair,
+ss_baselines/av_wan/mapnav_env.py:21-166, models/planner.py:19-209) as one
+jitted program.
+
+One policy step = choose an action-map cell (81-way; center = STOP,
+mapnav_env.py:60), then an inner `lax.scan` of up to PREDICTION_INTERVAL
+low-level steps walks toward the waypoint using the scene's precomputed
+next-hop tables, accumulating reward and updating the geometric/acoustic
+maps, breaking (by masking) on waypoint-reached or episode-done."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from soundspaces_tpu.avwan.maps import (
+    MapperConfig,
+    MapperState,
+    egocentric_crops,
+    register_egomap,
+    register_intensity,
+)
+from soundspaces_tpu.env.audionav import AudioNavEnv
+from soundspaces_tpu.env.structs import DeviceScene, EnvConfig, EnvState, EpisodeBank
+from soundspaces_tpu.scene.graph import (
+    MOVE_FORWARD,
+    STOP,
+    TURN_LEFT,
+    TURN_RIGHT,
+    UNREACHABLE,
+    SceneGraph,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class WaypointConfig:
+    prediction_interval: int = 10  # av_wan/config/default.py:54
+    mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
+
+    @property
+    def num_waypoints(self) -> int:
+        return self.mapper.action_map_size ** 2
+
+
+@struct.dataclass
+class WaypointTables:
+    """Static per-scene lookup tables for waypoint planning."""
+
+    node_at_cell: jax.Array  # [Cz, Cx] nearest node per 0.5 m cell, -1 empty
+    occupancy: jax.Array  # [Gz, Gx] 1.0 where walkable (0.1 m cells)
+    origin: jax.Array  # [2] world (x, z) of cell (0, 0)
+    node_cell_x: jax.Array  # [N] 0.5 m cell coords per node
+    node_cell_z: jax.Array
+
+
+def build_waypoint_tables(
+    graph: SceneGraph, mapper_cfg: MapperConfig
+) -> WaypointTables:
+    pts = graph.points
+    res, wres = mapper_cfg.map_resolution, 0.5
+    x0, z0 = float(pts[:, 0].min()), float(pts[:, 2].min())
+    cx = np.round((pts[:, 0] - x0) / wres).astype(np.int32)
+    cz = np.round((pts[:, 2] - z0) / wres).astype(np.int32)
+    node_at = np.full((cz.max() + 1, cx.max() + 1), -1, np.int32)
+    node_at[cz, cx] = np.arange(graph.num_nodes, dtype=np.int32)
+
+    gx = np.round((pts[:, 0] - x0) / res).astype(np.int32)
+    gz = np.round((pts[:, 2] - z0) / res).astype(np.int32)
+    half = int(round(wres / res)) // 2
+    occ = np.zeros((gz.max() + 2 * half + 1, gx.max() + 2 * half + 1), np.float32)
+    for dz in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            occ[gz + half + dz, gx + half + dx] = 1.0
+    return WaypointTables(
+        node_at_cell=jnp.asarray(node_at),
+        occupancy=jnp.asarray(occ),
+        origin=jnp.asarray([x0, z0], jnp.float32),
+        node_cell_x=jnp.asarray(cx),
+        node_cell_z=jnp.asarray(cz),
+    )
+
+
+@struct.dataclass
+class WaypointState:
+    base: EnvState
+    mapper: MapperState
+
+
+class WaypointNavEnv:
+    """Batched hierarchical env. Observations: spectrogram, gm, am,
+    action_map (navigability mask, also returned separately for the masked
+    policy head), intensity, collision."""
+
+    def __init__(
+        self,
+        env_cfg: EnvConfig,
+        wp_cfg: WaypointConfig,
+        scene: DeviceScene,
+        episodes: EpisodeBank,
+        tables: WaypointTables,
+        num_envs: int,
+    ):
+        base_sensors = ("audiogoal",)
+        self.base = AudioNavEnv(
+            dataclasses.replace(env_cfg, sensors=base_sensors),
+            scene,
+            episodes,
+            num_envs,
+        )
+        self.cfg = env_cfg
+        self.wp = wp_cfg
+        self.num_envs = num_envs
+        self._reset_jit = jax.jit(self.reset_pure)
+        self._step_jit = jax.jit(self.step_pure)
+
+    # ------------------------------------------------------------- public API
+    def reset(self, rng):
+        keys = jax.random.split(rng, self.num_envs)
+        env_ids = jnp.arange(self.num_envs, dtype=jnp.int32)
+        return self._reset_jit(
+            self.base.scene, self.base.episodes, self.tables(), keys, env_ids
+        )
+
+    def step(self, state, waypoints):
+        return self._step_jit(
+            self.base.scene, self.base.episodes, self.tables(), state, waypoints
+        )
+
+    def tables(self):
+        if not hasattr(self, "_tables"):
+            raise RuntimeError("use from_assets/with_tables to attach tables")
+        return self._tables
+
+    def attach_tables(self, tables: WaypointTables):
+        self._tables = tables
+        return self
+
+    # ------------------------------------------------------------------ pure
+    def reset_pure(self, scene, episodes, tables, keys, env_ids):
+        base_state, _ = jax.vmap(
+            self.base._reset_one, in_axes=(None, None, 0, 0)
+        )(scene, episodes, keys, env_ids)
+        mapper = jax.vmap(lambda _: MapperState.zeros(self.wp.mapper))(env_ids)
+        state = WaypointState(base=base_state, mapper=mapper)
+        state = jax.vmap(
+            self._update_maps, in_axes=(None, None, 0)
+        )(scene, tables, state)
+        obs = jax.vmap(self._observe, in_axes=(None, None, 0))(
+            scene, tables, state
+        )
+        return state, obs
+
+    def step_pure(self, scene, episodes, tables, state, waypoints):
+        return jax.vmap(
+            self._step_one, in_axes=(None, None, None, 0, 0)
+        )(scene, episodes, tables, state, waypoints)
+
+    # ------------------------------------------------------------ single env
+    def _agent_cells(self, scene, tables, base: EnvState):
+        return (
+            tables.node_cell_x[base.node] - tables.node_cell_x[base.start_node],
+            tables.node_cell_z[base.node] - tables.node_cell_z[base.start_node],
+        )
+
+    def _update_maps(self, scene, tables, state: WaypointState) -> WaypointState:
+        m = self.wp.mapper
+        base = state.base
+        # egomap: crop of the true occupancy grid around the agent (the
+        # discrete-sim equivalent of the depth-projected EgoMap sensor,
+        # soundspaces/tasks/nav.py:235-405), agent-facing-up
+        e = m.egomap_size
+        scale = int(round(0.5 / m.map_resolution))
+        gz = tables.node_cell_z[base.node] * scale + scale // 2
+        gx = tables.node_cell_x[base.node] * scale + scale // 2
+        occ = jax.lax.dynamic_slice(
+            tables.occupancy,
+            (
+                jnp.clip(gz - e // 2, 0, tables.occupancy.shape[0] - e),
+                jnp.clip(gx - e // 2, 0, tables.occupancy.shape[1] - e),
+            ),
+            (e, e),
+        )
+        ego = jnp.stack([1.0 - occ, jnp.ones_like(occ)], axis=-1)  # obstacle, explored
+        # world->ego rotation is undone at registration; pass allocentric
+        cell_x, cell_z = self._agent_cells(scene, tables, base)
+        scale_cells = scale
+        mapper = register_egomap(
+            m, state.mapper, ego, cell_x * scale_cells, cell_z * scale_cells,
+            jnp.int32(0),
+        )
+        # acoustic map intensity (avwan_sensors.py:91-100)
+        audio = self.base._audiogoal(scene, base)
+        intensity = _intensity(audio)
+        mapper = register_intensity(m, mapper, intensity, cell_x, cell_z)
+        return state.replace(mapper=mapper)
+
+    def _action_mask(self, scene, tables, base: EnvState) -> jax.Array:
+        """Navigable waypoints: target cell holds a node reachable from the
+        agent (planner.check_navigability, planner.py:142-168); the center
+        (STOP) is always allowed."""
+        a = self.wp.mapper.action_map_size
+        idxs = jnp.arange(a * a)
+        rows, cols = idxs // a, idxs % a
+        tnode = self._waypoint_node(scene, tables, base, rows, cols)
+        reachable = (tnode >= 0) & (
+            scene.geodesic_hops[base.node, jnp.maximum(tnode, 0)] < UNREACHABLE
+        )
+        mask = reachable.astype(jnp.float32)
+        return mask.at[a * a // 2].set(1.0)
+
+    def _waypoint_node(self, scene, tables, base: EnvState, rows, cols):
+        """Action-map cell -> target node (planner.get_map_coordinates,
+        planner.py:132-141). Ego frame: agent faces up (-row), +col right."""
+        a = self.wp.mapper.action_map_size
+        rel_f = -(rows - a // 2)  # forward steps (0.5 m cells)
+        rel_r = cols - a // 2  # rightward steps
+        # orientation theta = (270 - 90*rot) deg; forward = (cos, sin) in (x, z)
+        th = jnp.deg2rad(270.0 - 90.0 * base.rot_idx.astype(jnp.float32))
+        fwd = jnp.stack([jnp.cos(th), jnp.sin(th)])
+        right = jnp.stack([jnp.cos(th + jnp.pi / 2), jnp.sin(th + jnp.pi / 2)])
+        dx = jnp.round(rel_f * fwd[0] + rel_r * right[0]).astype(jnp.int32)
+        dz = jnp.round(rel_f * fwd[1] + rel_r * right[1]).astype(jnp.int32)
+        cz = tables.node_cell_z[base.node] + dz
+        cx = tables.node_cell_x[base.node] + dx
+        h, w = tables.node_at_cell.shape
+        inb = (cz >= 0) & (cz < h) & (cx >= 0) & (cx < w)
+        node = tables.node_at_cell[jnp.clip(cz, 0, h - 1), jnp.clip(cx, 0, w - 1)]
+        return jnp.where(inb, node, -1)
+
+    def _low_level_action(self, scene, base: EnvState, target_node):
+        """Greedy next action toward target via the next-hop table
+        (planner.plan, planner.py:88-130)."""
+        nxt = scene.oracle_next[base.node, target_node]
+        facing = scene.forward_neighbor[base.node]
+        target_rot = jnp.argmax(facing == nxt).astype(jnp.int32)
+        has_dir = jnp.any(facing == nxt)
+        delta = (target_rot - base.rot_idx) % 4
+        turn = jnp.where(delta <= 2, TURN_LEFT, TURN_RIGHT)
+        act = jnp.where(delta == 0, MOVE_FORWARD, turn)
+        return jnp.where((nxt < 0) | ~has_dir, TURN_LEFT, act)
+
+    def _step_one(self, scene, episodes, tables, state: WaypointState, waypoint):
+        wp = self.wp
+        a = wp.mapper.action_map_size
+        is_stop = waypoint == (a * a) // 2
+        target = self._waypoint_node(
+            scene, tables, state.base, waypoint // a, waypoint % a
+        )
+        target = jnp.where(target < 0, state.base.node, target)
+
+        def inner(carry, _):
+            st, total_r, done, reached = carry
+            act = jnp.where(
+                is_stop, STOP, self._low_level_action(scene, st.base, target)
+            )
+            active = ~(done | reached)
+            base2, _, r, d, info = self.base._step_one(
+                scene, episodes, st.base, act
+            )
+            base2 = jax.tree.map(
+                lambda new, old: jnp.where(active, new, old), base2, st.base
+            )
+            st2 = self._update_maps(scene, tables, st.replace(base=base2))
+            st2 = jax.tree.map(
+                lambda new, old: jnp.where(active, new, old), st2, st
+            )
+            total_r = total_r + jnp.where(active, r, 0.0)
+            newly_done = active & d
+            done = done | newly_done
+            reached = reached | (active & (base2.node == target) & ~d)
+            info = jax.tree.map(lambda x: x, info)
+            return (st2, total_r, done, reached), (info, newly_done)
+
+        init = (
+            state,
+            jnp.float32(0.0),
+            jnp.bool_(False),
+            jnp.bool_(False),
+        )
+        (state, reward, done, reached), (infos, newly_done) = jax.lax.scan(
+            inner, init, None, length=wp.prediction_interval
+        )
+        # the info at the step where the episode finished (or the last one)
+        last_idx = jnp.where(
+            jnp.any(newly_done), jnp.argmax(newly_done), wp.prediction_interval - 1
+        )
+        info = jax.tree.map(lambda x: x[last_idx], infos)
+        info = info | {
+            "reaching_waypoint": (reached | done).astype(jnp.float32),
+            "cant_reach_waypoint": jnp.float32(0.0),
+        }
+        # auto-reset: the base env already reset itself on done; rebuild maps
+        fresh_mapper = MapperState.zeros(wp.mapper)
+        mapper = jax.tree.map(
+            lambda f, c: jnp.where(done, f, c), fresh_mapper, state.mapper
+        )
+        state = state.replace(mapper=mapper)
+        state = jax.lax.cond(
+            done,
+            lambda s: self._update_maps(scene, tables, s),
+            lambda s: s,
+            state,
+        )
+        obs = self._observe(scene, tables, state)
+        return state, obs, reward, done, info
+
+    # -------------------------------------------------------------- sensors
+    def _observe(self, scene, tables, state: WaypointState):
+        base = state.base
+        cell_x, cell_z = self._agent_cells(scene, tables, base)
+        scale = int(round(0.5 / self.wp.mapper.map_resolution))
+        crops = egocentric_crops(
+            self.wp.mapper, state.mapper, cell_x * scale, cell_z * scale,
+            base.rot_idx,
+        )
+        audio = self.base._audiogoal(scene, base)
+        from soundspaces_tpu.ops.stft import spectrogram
+
+        mask = self._action_mask(scene, tables, base)
+        return {
+            "spectrogram": spectrogram(audio),
+            "gm": crops["gm"],
+            "am": crops["am"],
+            "action_map": mask.reshape(
+                self.wp.mapper.action_map_size, self.wp.mapper.action_map_size, 1
+            ),
+            "intensity": _intensity(audio)[None],
+            "collision": base.collided.astype(jnp.float32)[None],
+        }
+
+
+def _intensity(audiogoal: jax.Array) -> jax.Array:
+    """RMS of the first 150 samples after the direct-sound onset
+    (avwan_sensors.py:91-100)."""
+    num_frame = 150
+    thresh = 0.1 * audiogoal.max()
+    onset = jnp.min(jnp.argmax(audiogoal > thresh, axis=1))
+    window = jax.lax.dynamic_slice_in_dim(audiogoal, onset, num_frame, axis=1)
+    return jnp.mean(window**2)

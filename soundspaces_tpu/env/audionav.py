@@ -249,6 +249,8 @@ class AudioNavEnv:
         precomputed source-segment spectrum (simulator.py:608-647)."""
         az_idx = (4 - state.rot_idx) % 4  # azimuth = -rotation (simulator.py:573)
         rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
+        if rir.dtype != jnp.float32:
+            rir = rir.astype(jnp.float32)  # bank may be stored bfloat16
         seg = scene.seg_fft[state.sound_id, state.audio_index]  # [F]
         audio = windowed_convolve(
             seg, rir, scene.sampling_rate, scene.rir_max_len

@@ -58,14 +58,17 @@ class DeviceScene:
     rir_max_len: int = struct.field(pytree_node=False, default=8000)
 
     @classmethod
-    def from_assets(cls, assets: SceneAssets) -> "DeviceScene":
+    def from_assets(cls, assets: SceneAssets, rir_dtype=None) -> "DeviceScene":
+        """rir_dtype=jnp.bfloat16 halves the RIR bank's HBM footprint and
+        host->device transfer; the convolution upcasts per-gather."""
         g, ac = assets.graph, assets.acoustics
+        rir = ac.rir if rir_dtype is None else ac.rir.astype(rir_dtype)
         return cls(
             points=jnp.asarray(g.points),
             forward_neighbor=jnp.asarray(g.forward_neighbor),
             geodesic_hops=jnp.asarray(g.geodesic_hops),
             oracle_next=jnp.asarray(g.oracle_action),
-            rir=jnp.asarray(ac.rir),
+            rir=jnp.asarray(rir),
             goal_slot_of_node=jnp.asarray(ac.goal_slot_of_node),
             seg_fft=jnp.asarray(ac.seg_fft),
             sound_lengths_sec=jnp.asarray(ac.sound_lengths_sec),

@@ -146,11 +146,16 @@ class SceneGraph:
         remap[keep] = np.arange(len(keep))
         fwd = self.forward_neighbor[keep]
         fwd = np.where(fwd >= 0, remap[np.maximum(fwd, 0)], -1).astype(np.int32)
+        # oracle_action stores node IDS — remap values, not just slice
+        oracle = self.oracle_action[np.ix_(keep, keep)]
+        oracle = np.where(
+            oracle >= 0, remap[np.maximum(oracle, 0)], -1
+        ).astype(np.int32)
         return SceneGraph(
             self.points[keep],
             fwd,
             self.geodesic_hops[np.ix_(keep, keep)],
-            self.oracle_action[np.ix_(keep, keep)],
+            oracle,
             self.grid_size,
         )
 

@@ -1,0 +1,159 @@
+"""AV-WaN: mapper array ops, waypoint env hierarchy, masked waypoint policy."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soundspaces_tpu.avwan import (
+    AVWanNet,
+    MapperConfig,
+    MapperState,
+    WaypointConfig,
+    WaypointNavEnv,
+)
+from soundspaces_tpu.avwan.env import build_waypoint_tables
+from soundspaces_tpu.avwan.maps import egocentric_crops, register_egomap, register_intensity
+from soundspaces_tpu.env import DeviceScene, EnvConfig, make_episode_bank
+from soundspaces_tpu.models.policy import CategoricalPolicy
+from soundspaces_tpu.scene import make_synthetic_assets
+
+SMALL_MAPPER = MapperConfig(
+    internal_map_size=100, geometric_map_size=40, egomap_size=15,
+    acoustic_map_size=10,
+)
+
+
+def test_register_and_crop_roundtrip():
+    cfg = SMALL_MAPPER
+    st = MapperState.zeros(cfg)
+    ego = np.zeros((15, 15, 2), np.float32)
+    ego[7, 7] = [1.0, 1.0]  # obstacle at agent cell
+    st = register_egomap(cfg, st, jnp.asarray(ego), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    crops = egocentric_crops(cfg, st, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    gm = np.asarray(crops["gm"])
+    assert gm[20, 20, 0] == 1.0  # obstacle at crop center
+    assert gm.sum() == 2.0
+
+
+def test_intensity_map_average():
+    cfg = SMALL_MAPPER
+    st = MapperState.zeros(cfg)
+    st = register_intensity(cfg, st, jnp.float32(2.0), jnp.int32(0), jnp.int32(0))
+    st = register_intensity(cfg, st, jnp.float32(4.0), jnp.int32(0), jnp.int32(0))
+    crops = egocentric_crops(cfg, st, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    am = np.asarray(crops["am"])[..., 0]
+    assert am[cfg.acoustic_map_size // 2, cfg.acoustic_map_size // 2] == pytest.approx(3.0)
+    assert am.sum() == pytest.approx(3.0)
+
+
+@pytest.fixture(scope="module")
+def wp_world():
+    assets = make_synthetic_assets(
+        num_nodes_hint=40, sampling_rate=4000, rir_max_len=1000, image_size=8,
+        num_sounds=2, max_secs=2, seed=31,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 32, seed=32, min_geodesic_hops=2)
+    wp_cfg = WaypointConfig(prediction_interval=6, mapper=SMALL_MAPPER)
+    env = WaypointNavEnv(
+        EnvConfig(max_episode_steps=60), wp_cfg, scene, episodes,
+        build_waypoint_tables(assets.graph, SMALL_MAPPER), num_envs=2,
+    ).attach_tables(build_waypoint_tables(assets.graph, SMALL_MAPPER))
+    return assets, env
+
+
+def test_waypoint_reset_obs(wp_world):
+    _, env = wp_world
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["spectrogram"].shape == (2, 65, 7, 2)
+    assert obs["gm"].shape == (2, 40, 40, 2)
+    assert obs["am"].shape == (2, 10, 10, 1)
+    assert obs["action_map"].shape == (2, 9, 9, 1)
+    mask = np.asarray(obs["action_map"]).reshape(2, 81)
+    assert (mask[:, 40] == 1.0).all()  # center/STOP always navigable
+    assert mask.sum() > 2  # some waypoints reachable
+
+
+def test_waypoint_step_moves_toward_target(wp_world):
+    assets, env = wp_world
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    node0 = np.asarray(state.base.node)
+    # choose a navigable non-center waypoint for env 0
+    mask = np.asarray(obs["action_map"]).reshape(2, 81)
+    choices = [int(np.nonzero(m)[0][np.nonzero(m)[0] != 40][0]) for m in mask]
+    state1, obs1, reward, done, info = env.step(state, jnp.asarray(choices))
+    assert not np.any(np.asarray(done))
+    # agent moved (low-level steps executed)
+    assert (np.asarray(state1.base.num_actions) > 0).all()
+    assert np.isfinite(np.asarray(reward)).all()
+
+
+def test_waypoint_stop_ends_episode(wp_world):
+    _, env = wp_world
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    state1, _, reward, done, info = env.step(state, jnp.full((2,), 40))
+    assert np.all(np.asarray(done))
+
+
+def test_oracle_waypoints_reach_goal(wp_world):
+    """Always pick the waypoint nearest the goal: must succeed eventually."""
+    assets, env = wp_world
+    scene = env.base.scene
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    finished = np.zeros(2, bool)
+    succeeded = np.zeros(2, bool)
+    for _ in range(30):
+        mask = np.asarray(obs["action_map"]).reshape(2, 81)
+        waypoints = []
+        for i in range(2):
+            node = int(state.base.node[i])
+            goal = int(state.base.goal_node[i])
+            if node == goal:
+                waypoints.append(40)
+                continue
+            best, best_d = 40, np.inf
+            for w in np.nonzero(mask[i])[0]:
+                if w == 40:
+                    continue
+                t = int(env._waypoint_node(
+                    scene, env.tables(),
+                    jax.tree.map(lambda x: x[i], state.base),
+                    jnp.int32(w // 9), jnp.int32(w % 9),
+                ))
+                if t < 0:
+                    continue
+                d = int(np.asarray(scene.geodesic_hops)[t, goal])
+                if d < best_d:
+                    best, best_d = w, d
+            waypoints.append(best)
+        state, obs, reward, done, info = env.step(state, jnp.asarray(waypoints))
+        d = np.asarray(done)
+        for i in range(2):
+            if d[i] and not finished[i]:
+                finished[i] = True
+                succeeded[i] = bool(np.asarray(info["success"])[i] > 0)
+        if finished.all():
+            break
+    assert finished.all()
+    assert succeeded.all(), "nearest-to-goal waypoint policy must succeed"
+
+
+def test_avwan_masked_policy(wp_world):
+    _, env = wp_world
+    state, obs = env.reset(jax.random.PRNGKey(4))
+    policy = CategoricalPolicy(net=AVWanNet(hidden_size=32), num_actions=81)
+    h0 = jnp.zeros((2, 32))
+    params = policy.init(jax.random.PRNGKey(0), obs, h0, jnp.ones(2))
+    mask = obs["action_map"].reshape(2, 81)
+    for seed in range(3):
+        action, logp, value, _ = policy.apply(
+            params, obs, h0, jnp.ones(2), jax.random.PRNGKey(seed), False, mask,
+            method=policy.act,
+        )
+        a = np.asarray(action)
+        m = np.asarray(mask)
+        assert all(m[i, a[i]] > 0 for i in range(2)), "sampled an unnavigable waypoint"

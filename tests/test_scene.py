@@ -59,6 +59,18 @@ def test_grid_scene_connected():
                 assert back == a
 
 
+def test_oracle_next_hop_adjacent_after_component_trim():
+    """Regression: largest_component must remap the node IDS stored in
+    oracle_action, not just slice the table."""
+    g = SceneGraph.grid(8, 8, obstacle_fraction=0.35, seed=31)
+    for v in range(g.num_nodes):
+        for goal in range(0, g.num_nodes, 7):
+            nxt = g.oracle_action[v, goal]
+            if v == goal or nxt < 0:
+                continue
+            assert nxt in list(g.forward_neighbor[v]), (v, goal, nxt)
+
+
 def test_synthetic_assets_shapes():
     assets = make_synthetic_assets(num_nodes_hint=40, sampling_rate=4000,
                                    rir_max_len=2000, image_size=32)
