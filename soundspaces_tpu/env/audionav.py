@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from soundspaces_tpu.env.structs import DeviceScene, EnvConfig, EnvState, EpisodeBank
-from soundspaces_tpu.ops.convolve import windowed_convolve
+from soundspaces_tpu.ops.partitioned import partitioned_windowed_convolve
 from soundspaces_tpu.ops.stft import spectrogram, spectrogram_shape
 from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
 
@@ -251,9 +251,11 @@ class AudioNavEnv:
         rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
         if rir.dtype != jnp.float32:
             rir = rir.astype(jnp.float32)  # bank may be stored bfloat16
-        seg = scene.seg_fft[state.sound_id, state.audio_index]  # [F]
-        audio = windowed_convolve(
-            seg, rir, scene.sampling_rate, scene.rir_max_len
+        # partitioned overlap-save: small batched FFTs + MXU einsum (see
+        # ops/partitioned.py; also the only FFT size the axon backend handles)
+        seg_blocks = scene.seg_block_fft[state.sound_id, state.audio_index]
+        audio = partitioned_windowed_convolve(
+            seg_blocks, rir, scene.sampling_rate, scene.conv_block
         )
         # silence once past the sound's duration (simulator.py:610-612)
         audible = state.step_count <= state.duration_sec

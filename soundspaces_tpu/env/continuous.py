@@ -1,0 +1,286 @@
+"""SS2.0-style continuous-motion AudioGoal environment.
+
+The reference's ContinuousSoundSpacesSim (soundspaces/continuous_simulator.py:
+56-527) moves the agent freely on the navmesh and renders a fresh RIR every
+step with the RLRAudioPropagation ray tracer; audio is a STEP_TIME-long
+window of the source convolved with that RIR, crossfaded 50 ms against the
+previous step's RIR (428-456, 47-53).
+
+TPU-native v1: continuous pose (x, z, heading) with occupancy-grid collision;
+the per-pose RIR comes from the HBM bank at the nearest graph node and
+nearest 90-degree azimuth (the precomputed-grid stand-in for the ray tracer —
+a native ray-tracing synthesizer is the planned upgrade; see
+soundspaces_tpu/tools). Audio windowing and crossfade follow the reference's
+sample-cursor semantics exactly, via the partitioned convolution with
+on-the-fly delay-line spectra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from soundspaces_tpu.env.structs import DeviceScene, EpisodeBank
+from soundspaces_tpu.ops.crossfade import crossfade
+from soundspaces_tpu.ops.partitioned import (
+    partitioned_windowed_convolve,
+    segment_block_ffts_from_source,
+)
+from soundspaces_tpu.ops.stft import spectrogram
+from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousConfig:
+    """Continuous-mode knobs (reference av_nav/config/default.py:216-227:
+    CONTINUOUS=True sets step 0.25 m and enables crossfade)."""
+
+    step_size: float = 0.25
+    turn_angle_deg: float = 10.0
+    step_time: float = 0.25  # seconds of audio per step
+    use_crossfade: bool = True
+    success_distance: float = 0.36
+    max_episode_steps: int = 500
+    slack_reward: float = -0.01
+    success_reward: float = 10.0
+    distance_reward_scale: float = 1.0
+    sensors: tuple[str, ...] = ("spectrogram",)
+
+
+@struct.dataclass
+class ContinuousEnvState:
+    x: jax.Array  # f32 world coords
+    z: jax.Array
+    heading: jax.Array  # f32 radians, mesh-frame compass angle
+    goal_node: jax.Array
+    goal_slot: jax.Array
+    sound_id: jax.Array
+    sample_index: jax.Array  # i32 cursor into the source sound
+    prev_node: jax.Array  # last step's RIR indices (for crossfade)
+    prev_az: jax.Array
+    step_count: jax.Array
+    start_geodesic: jax.Array
+    prev_geodesic: jax.Array
+    path_length: jax.Array
+    collided: jax.Array
+    ep_ptr: jax.Array
+    rng: jax.Array
+
+
+class ContinuousAudioNavEnv:
+    """Batched continuous env over the same DeviceScene banks."""
+
+    def __init__(
+        self,
+        config: ContinuousConfig,
+        scene: DeviceScene,
+        episodes: EpisodeBank,
+        num_envs: int,
+    ):
+        self.config = config
+        self.scene = scene
+        self.episodes = episodes
+        self.num_envs = num_envs
+        self._reset_jit = jax.jit(self.reset_pure)
+        self._step_jit = jax.jit(self.step_pure)
+
+    # ------------------------------------------------------------- public API
+    def reset(self, rng):
+        keys = jax.random.split(rng, self.num_envs)
+        ids = jnp.arange(self.num_envs, dtype=jnp.int32)
+        return self._reset_jit(self.scene, self.episodes, keys, ids)
+
+    def step(self, state, actions):
+        return self._step_jit(self.scene, self.episodes, state, actions)
+
+    def reset_pure(self, scene, episodes, keys, env_ids):
+        return jax.vmap(self._reset_one, in_axes=(None, None, 0, 0))(
+            scene, episodes, keys, env_ids
+        )
+
+    def step_pure(self, scene, episodes, state, actions):
+        return jax.vmap(self._step_one, in_axes=(None, None, 0, 0))(
+            scene, episodes, state, actions
+        )
+
+    # ------------------------------------------------------------ single env
+    def _nearest_node(self, scene, x, z):
+        d2 = (scene.points[:, 0] - x) ** 2 + (scene.points[:, 2] - z) ** 2
+        return jnp.argmin(d2).astype(jnp.int32)
+
+    def _az_idx(self, heading):
+        """Quantize the compass heading to the bank's four azimuths: the
+        rotation angle is (270 - deg(heading)) and azimuth = -rotation
+        (simulator.py:564-573)."""
+        deg = jnp.rad2deg(heading)
+        rot = jnp.round((270.0 - deg) / 90.0).astype(jnp.int32) % 4
+        return (4 - rot) % 4
+
+    def _load_episode(self, scene, episodes, state_rng, ep_ptr):
+        ep = episodes
+        rng, sub, sub2 = jax.random.split(state_rng, 3)
+        i = jax.random.randint(sub, (), 0, ep.num_episodes)
+        node = ep.start_node[i]
+        geo = ep.geodesic[i]
+        heading = jnp.deg2rad(
+            270.0 - 90.0 * ep.start_rot_idx[i].astype(jnp.float32)
+        )
+        sound_len = jnp.maximum(scene.sound_lengths_sec[ep.sound_id[i]], 1)
+        # random initial sample cursor (continuous_simulator.py:344)
+        sample0 = jax.random.randint(
+            sub2, (), 0, sound_len * scene.sampling_rate
+        )
+        return ContinuousEnvState(
+            x=scene.points[node, 0],
+            z=scene.points[node, 2],
+            heading=heading,
+            goal_node=ep.goal_node[i],
+            goal_slot=ep.goal_slot[i],
+            sound_id=ep.sound_id[i],
+            sample_index=sample0,
+            prev_node=node,
+            prev_az=self._az_idx(heading),
+            step_count=jnp.int32(0),
+            start_geodesic=geo,
+            prev_geodesic=geo,
+            path_length=jnp.float32(0.0),
+            collided=jnp.bool_(False),
+            ep_ptr=ep_ptr + jnp.int32(self.num_envs),
+            rng=rng,
+        )
+
+    def _walkable(self, scene, x, z):
+        """Free iff within grid_size/2+margin of some graph node (the
+        occupancy stand-in for the navmesh)."""
+        d2 = (scene.points[:, 0] - x) ** 2 + (scene.points[:, 2] - z) ** 2
+        return jnp.min(d2) < (scene.grid_size * 0.75) ** 2
+
+    def _geodesic(self, scene, x, z, goal_node):
+        node = self._nearest_node(scene, x, z)
+        hops = scene.geodesic_hops[node, goal_node].astype(jnp.float32)
+        return hops * scene.grid_size
+
+    def _reset_one(self, scene, episodes, rng, env_id):
+        state = self._load_episode(scene, episodes, rng, env_id)
+        return state, self._observe(scene, state)
+
+    def _step_one(self, scene, episodes, state, action):
+        cfg = self.config
+        is_stop = action == STOP
+        is_fwd = action == MOVE_FORWARD
+        # heading convention: forward = (cos h, sin h) in (x, z)
+        nx = state.x + cfg.step_size * jnp.cos(state.heading) * is_fwd
+        nz = state.z + cfg.step_size * jnp.sin(state.heading) * is_fwd
+        ok = self._walkable(scene, nx, nz)
+        new_x = jnp.where(ok, nx, state.x)
+        new_z = jnp.where(ok, nz, state.z)
+        collided = is_fwd & ~ok
+        turn = jnp.deg2rad(cfg.turn_angle_deg)
+        new_heading = state.heading + jnp.where(
+            action == TURN_LEFT, -turn, jnp.where(action == TURN_RIGHT, turn, 0.0)
+        )
+
+        step_count = state.step_count + 1
+        moved = jnp.sqrt((new_x - state.x) ** 2 + (new_z - state.z) ** 2)
+        geo = self._geodesic(scene, new_x, new_z, state.goal_node)
+        euclid = jnp.sqrt(
+            (scene.points[state.goal_node, 0] - new_x) ** 2
+            + (scene.points[state.goal_node, 2] - new_z) ** 2
+        )
+        success = is_stop & (euclid < cfg.success_distance)
+        done = is_stop | (step_count >= cfg.max_episode_steps)
+
+        reward = (
+            cfg.slack_reward
+            + (state.prev_geodesic - geo) * cfg.distance_reward_scale
+            + jnp.where(success, cfg.success_reward, 0.0)
+        )
+        path_length = state.path_length + moved
+        sf = success.astype(jnp.float32)
+        info = {
+            "success": sf,
+            "spl": sf * state.start_geodesic
+            / jnp.maximum(state.start_geodesic, path_length),
+            "distance_to_goal": geo,
+            "na": step_count.astype(jnp.float32),
+        }
+
+        sound_samples = (
+            jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)
+            * scene.sampling_rate
+        )
+        num_sample = jnp.int32(round(cfg.step_time * scene.sampling_rate))
+        continued = state.replace(
+            x=new_x,
+            z=new_z,
+            heading=new_heading,
+            sample_index=(state.sample_index + num_sample) % sound_samples,
+            prev_node=self._nearest_node(scene, state.x, state.z),
+            prev_az=self._az_idx(state.heading),
+            step_count=step_count,
+            prev_geodesic=geo,
+            path_length=path_length,
+            collided=collided,
+        )
+        fresh = self._load_episode(scene, episodes, state.rng, state.ep_ptr)
+        new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, continued)
+        return new_state, self._observe(scene, new_state), reward, done, info
+
+    # -------------------------------------------------------------- sensors
+    def _render_audio(self, scene, state, node, az):
+        cfg = self.config
+        sr = scene.sampling_rate
+        num_sample = int(round(cfg.step_time * sr))
+        rir = scene.rir[az, node, state.goal_slot]
+        if rir.dtype != jnp.float32:
+            rir = rir.astype(jnp.float32)
+        src = _sound_of(scene, state.sound_id)
+        true_len = (
+            jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1) * sr
+        )
+        seg = segment_block_ffts_from_source(
+            src, state.sample_index, num_sample, scene.rir_max_len,
+            scene.conv_block, length=true_len, wrap=True,
+        )
+        audio = partitioned_windowed_convolve(
+            seg, rir, num_sample, scene.conv_block
+        )
+        # zero-pad to 1 s like the reference (continuous_simulator.py:454)
+        return jnp.pad(audio, ((0, 0), (0, sr - num_sample)))
+
+    def _observe(self, scene, state):
+        cfg = self.config
+        node = self._nearest_node(scene, state.x, state.z)
+        az = self._az_idx(state.heading)
+        audio = self._render_audio(scene, state, node, az)
+        if cfg.use_crossfade:
+            prev_audio = self._render_audio(
+                scene, state, state.prev_node, state.prev_az
+            )
+            audio = crossfade(prev_audio, audio, scene.sampling_rate)
+        obs = {}
+        if "audiogoal" in cfg.sensors:
+            obs["audiogoal"] = audio
+        if "spectrogram" in cfg.sensors:
+            obs["spectrogram"] = spectrogram(audio)
+        if "pointgoal_with_gps_compass" in cfg.sensors:
+            dx = scene.points[state.goal_node, 0] - state.x
+            dz = scene.points[state.goal_node, 2] - state.z
+            rho = jnp.sqrt(dx * dx + dz * dz)
+            phi = jnp.arctan2(dz, dx) - state.heading
+            phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
+            obs["pointgoal_with_gps_compass"] = jnp.stack([rho, phi])
+        for name in cfg.sensors:
+            if name in scene.frames:
+                rot = jnp.round((270.0 - jnp.rad2deg(state.heading)) / 90.0)
+                obs[name] = scene.frames[name][node, rot.astype(jnp.int32) % 4]
+        return obs
+
+
+def _sound_of(scene, sound_id):
+    """Full (padded) waveform of one sound. Requires raw sounds on device."""
+    return scene.sounds[sound_id]

@@ -50,12 +50,15 @@ class DeviceScene:
     oracle_next: jax.Array  # [N, N] i32 next-hop node toward goal
     rir: jax.Array  # [4, N, G, 2, L] f32
     goal_slot_of_node: jax.Array  # [N] i32
-    seg_fft: jax.Array  # [S, secs, F] c64
+    seg_fft: jax.Array  # [S, secs, F] c64 (single-FFT conv path)
+    seg_block_fft: jax.Array  # [S, secs, K, Fb] c64 (partitioned path)
+    sounds: jax.Array  # [S, max_samples] f32 raw waveforms (continuous mode)
     sound_lengths_sec: jax.Array  # [S] i32
     frames: dict[str, jax.Array]  # name -> [N, 4, H, W, C]
     grid_size: float = struct.field(pytree_node=False, default=0.5)
     sampling_rate: int = struct.field(pytree_node=False, default=16000)
     rir_max_len: int = struct.field(pytree_node=False, default=8000)
+    conv_block: int = struct.field(pytree_node=False, default=8192)
 
     @classmethod
     def from_assets(cls, assets: SceneAssets, rir_dtype=None) -> "DeviceScene":
@@ -71,11 +74,14 @@ class DeviceScene:
             rir=jnp.asarray(rir),
             goal_slot_of_node=jnp.asarray(ac.goal_slot_of_node),
             seg_fft=jnp.asarray(ac.seg_fft),
+            seg_block_fft=jnp.asarray(ac.seg_block_fft),
+            sounds=jnp.asarray(ac.sounds),
             sound_lengths_sec=jnp.asarray(ac.sound_lengths_sec),
             frames={k: jnp.asarray(v) for k, v in assets.frames.modalities.items()},
             grid_size=float(g.grid_size),
             sampling_rate=int(ac.sampling_rate),
             rir_max_len=int(ac.rir_max_len),
+            conv_block=int(ac.conv_block),
         )
 
     def geodesic(self, a: jax.Array, b: jax.Array) -> jax.Array:

@@ -1,0 +1,166 @@
+"""Uniform partitioned overlap-save convolution (frequency-domain delay line).
+
+The direct frequency-domain convolution (ops/convolve.py) needs one FFT of
+size ~2^17 per observation at 44.1 kHz. Large single FFTs are both the worst
+case for TPU FFT implementations and, on the axon tunnel backend, outright
+broken above 2^15. The classic real-time-convolution structure fixes both:
+
+- the RIR is split into P uniform partitions of B samples, each rFFT'd at
+  2B (so every FFT is small and batchable);
+- the source segment is processed as a sliding frequency-domain delay line:
+  S_j = rfft(src[n0 + (j-1)B : n0 + (j+1)B]) with hop B — and because the
+  discrete sim's windows are second-aligned, ALL S_j are precomputed into a
+  tiny bank (the analog of ops/convolve.precompute_segment_ffts);
+- each output block is  irfft( sum_p S_{t-p} · H_p )[B:2B]  — the sum over
+  partitions is a batched complex einsum that maps onto the MXU.
+
+The result equals the exact linear convolution window (overlap-save is
+exact), i.e. the reference's sliding-window scipy fftconvolve
+(soundspaces/simulator.py:628-647), to float32 rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soundspaces_tpu.ops.convolve import next_pow2
+
+MAX_FFT_SIZE = 32768  # axon TPU tunnel: FFTs above this hang/corrupt D2H
+
+
+def choose_block_size(rir_max_len: int, max_fft: int = MAX_FFT_SIZE) -> int:
+    """Partition block B: a power of two with 2B <= max_fft, sized so short
+    RIRs use a single partition."""
+    b = next_pow2(rir_max_len)
+    return min(b, max_fft // 2, 8192)
+
+
+def num_partitions(rir_max_len: int, block: int) -> int:
+    return -(-rir_max_len // block)
+
+
+def num_output_blocks(window_len: int, block: int) -> int:
+    return -(-window_len // block)
+
+
+def precompute_segment_block_ffts(
+    sources: np.ndarray,
+    lengths_sec: np.ndarray,
+    sampling_rate: int,
+    rir_max_len: int,
+    block: int | None = None,
+    max_secs: int | None = None,
+) -> np.ndarray:
+    """Block spectra of every second-aligned window's delay line.
+
+    Returns complex64 [n_sounds, max_secs, K, F] with
+    K = num_output_blocks(sr, B) + P - 1 and F = B + 1, where entry
+    (s, i, k) is  rfft(src_padded[i*sr + (k - P)B : i*sr + (k - P + 2)B])
+    over the source zero-padded with P*B samples on the left (the "reverb
+    from previous step" region)."""
+    sr = sampling_rate
+    b = block or choose_block_size(rir_max_len)
+    p = num_partitions(rir_max_len, b)
+    t_out = num_output_blocks(sr, b)
+    k_total = t_out + p - 1
+    n_sounds, max_samples = sources.shape
+    if max_secs is None:
+        max_secs = max_samples // sr
+    out = np.zeros((n_sounds, max_secs, k_total, b + 1), np.complex64)
+    for s in range(n_sounds):
+        length = max(int(lengths_sec[s]), 1)
+        padded = np.concatenate(
+            [np.zeros(p * b, dtype=sources.dtype), sources[s, : length * sr]]
+        )
+        # right-pad so late blocks can always read 2B samples
+        padded = np.concatenate([padded, np.zeros(2 * b + t_out * b, sources.dtype)])
+        for i in range(max_secs):
+            n0 = (i % length) * sr  # cyclic index like the reference's
+            for k in range(k_total):
+                start = n0 + k * b  # == n0 + (j-1)B with j = k - (P-1)
+                seg = padded[start : start + 2 * b]
+                out[s, i, k] = np.fft.rfft(seg, n=2 * b).astype(np.complex64)
+    return out
+
+
+def precompute_rir_partition_ffts(
+    rirs: np.ndarray, block: int
+) -> np.ndarray:
+    """rirs [..., C, L] -> partition spectra [..., C, P, F] complex64."""
+    b = block
+    p = num_partitions(rirs.shape[-1], b)
+    pad = p * b - rirs.shape[-1]
+    padded = np.pad(rirs, [(0, 0)] * (rirs.ndim - 1) + [(0, pad)])
+    parts = padded.reshape(padded.shape[:-1] + (p, b))
+    return np.fft.rfft(parts, n=2 * b, axis=-1).astype(np.complex64)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_len", "rir_max_len", "block", "wrap")
+)
+def segment_block_ffts_from_source(
+    source: jax.Array,  # [n_samples] float (may be padded past `length`)
+    start: jax.Array,  # scalar i32: window start n0 (source coordinates)
+    window_len: int,
+    rir_max_len: int,
+    block: int,
+    length: jax.Array | None = None,  # true sample count for wraparound
+    wrap: bool = True,
+) -> jax.Array:
+    """On-the-fly delay-line spectra for an arbitrary (non-second-aligned)
+    window start — the SS2.0 continuous-mode case where the sample cursor
+    advances by STEP_TIME*sr each step with wraparound
+    (soundspaces/continuous_simulator.py:428-456). Returns [K, F] complex."""
+    b = block
+    p = num_partitions(rir_max_len, b)
+    t_out = num_output_blocks(window_len, b)
+    k_total = t_out + p - 1
+    n = length if length is not None else source.shape[0]
+
+    offsets = jnp.arange(k_total) * b - p * b  # block k starts at n0+(k-P)B
+    sample_idx = (
+        start + offsets[:, None] + jnp.arange(2 * b)[None, :]
+    )
+    if wrap:
+        # reference semantics exactly: positions past the end wrap cyclically
+        # (continuous_simulator.py:443-445) while positions before sample 0
+        # are silence (the `index - rir_len < 0` branch zero-pads the left)
+        gathered = jnp.where(sample_idx >= 0, source[sample_idx % n], 0.0)
+    else:
+        valid = (sample_idx >= 0) & (sample_idx < n)
+        gathered = jnp.where(valid, source[jnp.clip(sample_idx, 0, n - 1)], 0.0)
+    return jnp.fft.rfft(gathered, n=2 * b)
+
+
+@functools.partial(jax.jit, static_argnames=("window_len", "block"))
+def partitioned_windowed_convolve(
+    seg_block_fft: jax.Array,  # [K, F] complex
+    rir: jax.Array,  # [C, L] float
+    window_len: int,
+    block: int,
+) -> jax.Array:
+    """One observation window [C, window_len] of conv(source, rir) starting
+    at the window the segment spectra were built for."""
+    b = block
+    k_total, f = seg_block_fft.shape
+    c, l = rir.shape
+    p = num_partitions(l, b)
+    t_out = k_total - p + 1
+
+    pad = p * b - l
+    parts = jnp.pad(rir, ((0, 0), (0, pad))).reshape(c, p, b)
+    h = jnp.fft.rfft(parts, n=2 * b)  # [C, P, F]
+
+    # S windows: for output block t, spectra S_{t-p} for p=0..P-1 ==
+    # seg_block_fft[t + P-1 - p] -> gather [T, P, F] (reversed partition order)
+    idx = (jnp.arange(t_out)[:, None] + jnp.arange(p - 1, -1, -1)[None, :])
+    s_win = seg_block_fft[idx]  # [T, P, F]
+
+    y_f = jnp.einsum("tpf,cpf->tcf", s_win, h)  # MXU: complex matmul over P
+    y = jnp.fft.irfft(y_f, n=2 * b)[..., b:]  # overlap-save: keep 2nd half
+    y = jnp.transpose(y, (1, 0, 2)).reshape(c, t_out * b)
+    return y[:, :window_len]

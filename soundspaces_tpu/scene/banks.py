@@ -25,6 +25,10 @@ from typing import Any
 import numpy as np
 
 from soundspaces_tpu.ops.convolve import min_fft_size, precompute_segment_ffts
+from soundspaces_tpu.ops.partitioned import (
+    choose_block_size,
+    precompute_segment_block_ffts,
+)
 from soundspaces_tpu.scene.graph import SceneGraph
 
 
@@ -35,7 +39,9 @@ class AcousticBank:
     rir: np.ndarray  # [4, N, G, 2, L] float32 (or bfloat16)
     goal_nodes: np.ndarray  # [G] int32 node id of each goal slot
     goal_slot_of_node: np.ndarray  # [N] int32, -1 if node is not a goal
-    seg_fft: np.ndarray  # [S, max_secs, F] complex64
+    seg_fft: np.ndarray  # [S, max_secs, F] complex64 (single-FFT path)
+    seg_block_fft: np.ndarray  # [S, max_secs, K, Fb] complex64 (partitioned)
+    conv_block: int  # partition block size B
     sounds: np.ndarray  # [S, max_samples] float32 raw waveforms
     sound_lengths_sec: np.ndarray  # [S] int32
     sampling_rate: int
@@ -68,11 +74,18 @@ class AcousticBank:
         seg_fft = precompute_segment_ffts(
             sounds, sound_lengths_sec, sampling_rate, rir_max_len, max_secs
         )
+        block = choose_block_size(rir_max_len)
+        seg_block_fft = precompute_segment_block_ffts(
+            sounds, sound_lengths_sec, sampling_rate, rir_max_len, block,
+            max_secs,
+        )
         return cls(
             rir=np.asarray(rirs, np.float32),
             goal_nodes=goal_nodes,
             goal_slot_of_node=slot_of,
             seg_fft=seg_fft,
+            seg_block_fft=seg_block_fft,
+            conv_block=block,
             sounds=np.asarray(sounds, np.float32),
             sound_lengths_sec=np.asarray(sound_lengths_sec, np.int32),
             sampling_rate=sampling_rate,

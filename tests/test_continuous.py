@@ -1,0 +1,126 @@
+"""SS2.0 continuous-mode env: windowed wraparound audio parity, crossfade,
+continuous motion + collision."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soundspaces_tpu import refimpl
+from soundspaces_tpu.env import DeviceScene, make_episode_bank
+from soundspaces_tpu.env.continuous import ContinuousAudioNavEnv, ContinuousConfig
+from soundspaces_tpu.ops.partitioned import (
+    choose_block_size,
+    partitioned_windowed_convolve,
+    segment_block_ffts_from_source,
+)
+from soundspaces_tpu.scene import make_synthetic_assets
+from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT
+
+
+@pytest.mark.parametrize("sample_index", [0, 700, 3500])
+def test_continuous_windowed_audio_matches_reference(rng, sample_index):
+    sr, rir_max, step_time = 4410, 2000, 0.25
+    source = rng.standard_normal(2 * sr).astype(np.float32)
+    rir = rng.standard_normal((1700, 2)).astype(np.float32) * 0.1
+
+    want = refimpl.audio.continuous_windowed_audiogoal(
+        source, rir, sample_index, sr, step_time
+    )
+    num_sample = int(sr * step_time)
+    block = choose_block_size(rir_max)
+    seg = segment_block_ffts_from_source(
+        jnp.asarray(source), jnp.int32(sample_index), num_sample, rir_max,
+        block, length=jnp.int32(len(source)),
+    )
+    rp = np.zeros((2, rir_max), np.float32)
+    rp[:, :1700] = rir.T
+    got = np.asarray(
+        partitioned_windowed_convolve(seg, jnp.asarray(rp), num_sample, block)
+    )
+    got = np.pad(got, [(0, 0), (0, sr - num_sample)])
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_wraparound_window(rng):
+    """Cursor near the end of the sound wraps into its beginning
+    (continuous_simulator.py:443-445)."""
+    sr, rir_max = 4410, 2000
+    source = rng.standard_normal(sr).astype(np.float32)  # 1 s sound
+    rir = rng.standard_normal((1500, 2)).astype(np.float32) * 0.1
+    idx = sr - 300  # window [sr-300, sr-300+1102) wraps
+    want = refimpl.audio.continuous_windowed_audiogoal(source, rir, idx, sr, 0.25)
+    block = choose_block_size(rir_max)
+    seg = segment_block_ffts_from_source(
+        jnp.asarray(source), jnp.int32(idx), int(sr * 0.25), rir_max, block,
+        length=jnp.int32(sr),
+    )
+    rp = np.zeros((2, rir_max), np.float32)
+    rp[:, :1500] = rir.T
+    got = np.asarray(
+        partitioned_windowed_convolve(seg, jnp.asarray(rp), int(sr * 0.25), block)
+    )
+    got = np.pad(got, [(0, 0), (0, sr - got.shape[1])])
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def cont_env():
+    assets = make_synthetic_assets(
+        num_nodes_hint=40, sampling_rate=4410, rir_max_len=1500, image_size=8,
+        num_sounds=2, max_secs=2, seed=41,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 32, seed=42, min_geodesic_hops=2)
+    cfg = ContinuousConfig(
+        sensors=("spectrogram", "audiogoal", "pointgoal_with_gps_compass"),
+        max_episode_steps=50,
+    )
+    return assets, ContinuousAudioNavEnv(cfg, scene, episodes, num_envs=2)
+
+
+def test_continuous_reset_and_shapes(cont_env):
+    _, env = cont_env
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["audiogoal"].shape == (2, 2, 4410)
+    assert obs["spectrogram"].shape[0] == 2
+    assert np.isfinite(np.asarray(obs["audiogoal"])).all()
+
+
+def test_continuous_motion_and_collision(cont_env):
+    assets, env = cont_env
+    state, _ = env.reset(jax.random.PRNGKey(1))
+    x0, z0 = np.asarray(state.x), np.asarray(state.z)
+    state1, _, _, done, _ = env.step(state, jnp.full((2,), MOVE_FORWARD))
+    moved = np.hypot(np.asarray(state1.x) - x0, np.asarray(state1.z) - z0)
+    col = np.asarray(state1.collided)
+    for i in range(2):
+        assert (moved[i] == pytest.approx(0.25, abs=1e-5)) or col[i]
+    # turning changes heading by 10 degrees
+    h1 = np.asarray(state1.heading)
+    state2, *_ = env.step(state1, jnp.full((2,), TURN_LEFT))
+    np.testing.assert_allclose(
+        np.asarray(state2.heading), h1 - np.deg2rad(10.0), atol=1e-6
+    )
+
+
+def test_continuous_stop_near_goal_succeeds(cont_env):
+    assets, env = cont_env
+    state, _ = env.reset(jax.random.PRNGKey(2))
+    g = assets.graph
+    gx = jnp.asarray(g.points[np.asarray(state.goal_node), 0])
+    gz = jnp.asarray(g.points[np.asarray(state.goal_node), 2])
+    near = state.replace(x=gx + 0.1, z=gz)
+    _, _, reward, done, info = env.step(near, jnp.full((2,), STOP))
+    assert np.all(np.asarray(done))
+    np.testing.assert_allclose(np.asarray(info["success"]), 1.0)
+
+
+def test_crossfade_smooths_rir_switch(cont_env):
+    """With crossfade on, the first 50 ms blends previous-pose audio."""
+    assets, env = cont_env
+    state, obs = env.reset(jax.random.PRNGKey(3))
+    # previous pose differs from current after a move
+    state1, obs1, *_ = env.step(state, jnp.full((2,), MOVE_FORWARD))
+    assert np.isfinite(np.asarray(obs1["audiogoal"])).all()

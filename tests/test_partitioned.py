@@ -1,0 +1,75 @@
+"""Partitioned overlap-save convolution must exactly match the direct
+windowed convolution and the reference scipy pipeline."""
+
+import numpy as np
+import pytest
+
+from soundspaces_tpu import refimpl
+from soundspaces_tpu.ops.convolve import precompute_segment_ffts, windowed_convolve
+from soundspaces_tpu.ops.partitioned import (
+    choose_block_size,
+    num_partitions,
+    partitioned_windowed_convolve,
+    precompute_rir_partition_ffts,
+    precompute_segment_block_ffts,
+)
+
+
+@pytest.mark.parametrize("sr,rir_len,audio_index", [
+    (4410, 900, 0),
+    (4410, 4410, 2),
+    (4410, 3000, 1),
+    (16000, 9000, 0),
+])
+def test_partitioned_matches_reference(rng, sr, rir_len, audio_index):
+    rir_max = sr
+    source = rng.standard_normal(4 * sr).astype(np.float32)
+    rir = rng.standard_normal((rir_len, 2)).astype(np.float32) * 0.1
+
+    want = refimpl.sliding_window_audiogoal(source, rir, audio_index, sr)
+
+    block = choose_block_size(rir_max)
+    seg_blocks = precompute_segment_block_ffts(
+        source[None], np.array([4]), sr, rir_max, block
+    )
+    rir_padded = np.zeros((2, rir_max), np.float32)
+    rir_padded[:, :rir_len] = rir.T
+    got = np.asarray(
+        partitioned_windowed_convolve(
+            seg_blocks[0, audio_index], rir_padded, sr, block
+        )
+    )
+    assert got.shape == (2, sr)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_partitioned_matches_direct_path(rng):
+    sr, rir_max = 4410, 4410
+    source = rng.standard_normal(2 * sr).astype(np.float32)
+    rir = rng.standard_normal((2, rir_max)).astype(np.float32) * 0.1
+    seg = precompute_segment_ffts(source[None], np.array([2]), sr, rir_max)
+    direct = np.asarray(windowed_convolve(seg[0, 1], rir, sr, rir_max))
+
+    block = choose_block_size(rir_max)
+    seg_blocks = precompute_segment_block_ffts(
+        source[None], np.array([2]), sr, rir_max, block
+    )
+    part = np.asarray(
+        partitioned_windowed_convolve(seg_blocks[0, 1], rir, sr, block)
+    )
+    np.testing.assert_allclose(part, direct, rtol=1e-3, atol=1e-4)
+
+
+def test_block_size_bounds():
+    # 44.1 kHz 1 s RIRs: blocks of 8192 -> FFT size 16384 <= the axon limit
+    b = choose_block_size(44100)
+    assert b == 8192 and 2 * b <= 32768
+    assert num_partitions(44100, b) == 6
+    # short RIR: single partition
+    assert num_partitions(2000, choose_block_size(2000)) == 1
+
+
+def test_rir_partition_fft_bank_shape(rng):
+    rirs = rng.standard_normal((3, 2, 5000)).astype(np.float32)
+    h = precompute_rir_partition_ffts(rirs, 2048)
+    assert h.shape == (3, 2, 3, 2049) and h.dtype == np.complex64
