@@ -142,6 +142,8 @@ def episodes_to_bank(
     duration = np.full(n, 500, np.int32)
     offset = np.zeros(n, np.int32)
     category = np.zeros(n, np.int32)
+    d_sound = np.full(n, -1, np.int32)
+    d_slot = np.full(n, -1, np.int32)
 
     for i, ep in enumerate(episodes):
         start_node[i] = node_of[enc(ep.start_position)]
@@ -166,6 +168,13 @@ def episodes_to_bank(
             category[i] = category_to_id[ep.object_category]
         else:
             category[i] = sound_id[i] % 21
+        # semantic-task distractor (semantic_audionav_task.py:28-46)
+        if ep.distractor_sound_id is not None:
+            d_sound[i] = sound_to_id[ep.distractor_sound_id]
+        if ep.distractor_position_index is not None:
+            d_slot[i] = int(
+                acoustics.goal_slot_of_node[ep.distractor_position_index]
+            )
 
     return EpisodeBank(
         start_node=jnp.asarray(start_node),
@@ -178,4 +187,6 @@ def episodes_to_bank(
         duration_sec=jnp.asarray(duration),
         offset_sec=jnp.asarray(offset),
         category=jnp.asarray(category),
+        distractor_sound_id=jnp.asarray(d_sound),
+        distractor_slot=jnp.asarray(d_slot),
     )

@@ -126,6 +126,8 @@ class AudioNavEnv:
             goal_slot=ep.goal_slot[i],
             sound_id=ep.sound_id[i],
             category=ep.category[i],
+            distractor_sound_id=ep.distractor_sound_id[i],
+            distractor_slot=ep.distractor_slot[i],
             audio_index=ep.offset_sec[i],
             step_count=jnp.int32(0),
             duration_sec=jnp.where(
@@ -189,6 +191,9 @@ class AudioNavEnv:
         )
         ona = state.oracle_num_action.astype(jnp.float32)
         sna = sf * ona / jnp.maximum(ona, num_actions.astype(jnp.float32))
+        # SWS: success when silent (semantic_audionav_task.py:213-235;
+        # is_silent = step_count > duration, simulator.py:334)
+        silent = (step_count > state.duration_sec).astype(jnp.float32)
         info = {
             "success": sf,
             "spl": spl,
@@ -197,6 +202,7 @@ class AudioNavEnv:
             "normalized_distance_to_goal": geo / jnp.maximum(start_geo, 1e-6),
             "na": num_actions.astype(jnp.float32),
             "sna": sna,
+            "sws": sf * silent,
         }
 
         sound_len = jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)
@@ -257,6 +263,21 @@ class AudioNavEnv:
         audio = partitioned_windowed_convolve(
             seg_blocks, rir, scene.sampling_rate, scene.conv_block
         )
+        if self.config.has_distractor_sound:
+            # mix the distractor source convolved with its own pose RIR
+            # (simulator.py:649-664)
+            d_sound = jnp.maximum(state.distractor_sound_id, 0)
+            d_slot = jnp.maximum(state.distractor_slot, 0)
+            d_len = jnp.maximum(scene.sound_lengths_sec[d_sound], 1)
+            d_rir = scene.rir[az_idx, state.node, d_slot]
+            if d_rir.dtype != jnp.float32:
+                d_rir = d_rir.astype(jnp.float32)
+            d_seg = scene.seg_block_fft[d_sound, state.audio_index % d_len]
+            d_audio = partitioned_windowed_convolve(
+                d_seg, d_rir, scene.sampling_rate, scene.conv_block
+            )
+            has_d = (state.distractor_sound_id >= 0) & (state.distractor_slot >= 0)
+            audio = audio + jnp.where(has_d, d_audio, 0.0)
         # silence once past the sound's duration (simulator.py:610-612)
         audible = state.step_count <= state.duration_sec
         return jnp.where(audible, audio, 0.0)

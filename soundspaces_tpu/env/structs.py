@@ -29,6 +29,9 @@ class EnvConfig:
     with_distance_reward: bool = True
     # audio (ss_baselines/av_nav/config/default.py AUDIO node)
     everlasting: bool = True
+    # semantic task: mix a distractor source into the audio
+    # (simulator.py:649-664, semantic_audionav_task.py)
+    has_distractor_sound: bool = False
     # observation suite
     sensors: tuple[str, ...] = ("spectrogram", "depth")
     num_categories: int = 21
@@ -107,6 +110,8 @@ class EpisodeBank:
     duration_sec: jax.Array  # [E] i32 sound duration for non-everlasting audio
     offset_sec: jax.Array  # [E] i32 sound onset offset (semantic task)
     category: jax.Array  # [E] i32 goal object category
+    distractor_sound_id: jax.Array  # [E] i32, -1 = no distractor
+    distractor_slot: jax.Array  # [E] i32 RIR goal-slot of the distractor
 
     @property
     def num_episodes(self) -> int:
@@ -123,6 +128,8 @@ class EnvState:
     goal_slot: jax.Array
     sound_id: jax.Array
     category: jax.Array
+    distractor_sound_id: jax.Array
+    distractor_slot: jax.Array
     audio_index: jax.Array  # i32 second-index into the source sound
     step_count: jax.Array  # i32 steps taken this episode
     duration_sec: jax.Array  # i32
@@ -145,6 +152,7 @@ def make_episode_bank(
     seed: int = 0,
     min_geodesic_hops: int = 1,
     duration_sec: int | None = None,
+    with_distractors: bool = False,
 ) -> EpisodeBank:
     """Sample a synthetic episode set over a scene's graph/goal slots.
     Real datasets load through soundspaces_tpu.datasets instead."""
@@ -171,6 +179,14 @@ def make_episode_bank(
         duration_sec if duration_sec is not None else 500,
         np.int32,
     )
+    if with_distractors:
+        # distractor at a different goal slot with a different sound
+        d_slot = (slots + 1 + rng.integers(0, max(len(ac.goal_nodes) - 1, 1),
+                                           num_episodes)) % len(ac.goal_nodes)
+        d_sound = (sounds + 1) % max(ac.seg_fft.shape[0], 1)
+    else:
+        d_slot = np.full(num_episodes, -1, np.int32)
+        d_sound = np.full(num_episodes, -1, np.int32)
     return EpisodeBank(
         start_node=jnp.asarray(starts),
         start_rot_idx=jnp.asarray(rots),
@@ -182,6 +198,8 @@ def make_episode_bank(
         duration_sec=jnp.asarray(dur),
         offset_sec=jnp.zeros(num_episodes, jnp.int32),
         category=jnp.asarray(sounds % 21),
+        distractor_sound_id=jnp.asarray(d_sound.astype(np.int32)),
+        distractor_slot=jnp.asarray(d_slot.astype(np.int32)),
     )
 
 

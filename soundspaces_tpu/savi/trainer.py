@@ -1,0 +1,272 @@
+"""SAVi PPO trainer: SMT policy with external memory + online belief training.
+
+Reference: ss_baselines/savi/ppo/ppo_trainer.py:63-1051 — rollouts thread the
+external memory through act (252-340), belief predictions are patched into
+observations each step (332-336), and the belief predictor trains online
+from rollout spectrograms against ground-truth goal location/category
+(train_belief_predictor, 342-404).
+
+Here the whole update is one jitted function: rollout scan (SMT act +
+belief predict + env step) -> GAE -> PPO epochs whose evaluate replays the
+memory -> belief-predictor gradient step on the rollout batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from soundspaces_tpu.env.audionav import AudioNavEnv
+from soundspaces_tpu.savi.belief import BeliefPredictor
+from soundspaces_tpu.savi.policy import (
+    AudioNavSMTNet,
+    SMTPolicy,
+    SMTPolicyState,
+    smt_initial_state,
+)
+from soundspaces_tpu.train.ppo import PPOConfig, compute_gae, normalize_advantages
+
+
+@dataclasses.dataclass(frozen=True)
+class SAViConfig:
+    memory_size: int = 150  # savi.yaml SMT memory_size
+    hidden_size: int = 256
+    nhead: int = 8
+    use_belief_predictor: bool = True
+    belief_lr: float = 1e-4
+    online_belief_training: bool = True
+
+
+@struct.dataclass
+class SAViCarry:
+    env_state: Any
+    obs: dict[str, jax.Array]
+    policy_state: SMTPolicyState
+    prev_done: jax.Array
+    location_belief: jax.Array  # [N, 2]
+    rng: jax.Array
+
+
+class SAViTrainer:
+    def __init__(
+        self,
+        env: AudioNavEnv,
+        ppo_cfg: PPOConfig,
+        savi_cfg: SAViConfig = SAViConfig(),
+    ):
+        self.env = env
+        self.ppo = ppo_cfg
+        self.savi = savi_cfg
+        net = AudioNavSMTNet(
+            hidden_size=savi_cfg.hidden_size,
+            nhead=savi_cfg.nhead,
+            num_actions=env.config.num_actions,
+        )
+        self.policy = SMTPolicy(net=net, num_actions=env.config.num_actions)
+        self.belief = BeliefPredictor(
+            num_categories=env.config.num_categories, lr=savi_cfg.belief_lr
+        )
+        self.optimizer = optax.adam(ppo_cfg.lr, eps=ppo_cfg.eps)
+        n_visual = sum(
+            1 for m in ("rgb", "depth", "semantic_object") if m in env.config.sensors
+        )
+        self.feature_dim = 64 * n_visual + 16 + 128 + 4
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng):
+        rng, env_key, p_key, b_key = jax.random.split(rng, 4)
+        env_state, obs = self.env.reset(env_key)
+        pstate = smt_initial_state(
+            self.env.num_envs, self.savi.memory_size, self.feature_dim
+        )
+        loc_belief = jnp.zeros((self.env.num_envs, 2))
+        obs_b = self._with_beliefs(None, obs, loc_belief)
+        params = self.policy.init(
+            p_key, obs_b, pstate, jnp.ones(self.env.num_envs),
+            jax.random.PRNGKey(0), method=self.policy.act,
+        )
+        bparams, bopt = (None, None)
+        if self.savi.use_belief_predictor:
+            bparams, bopt = self.belief.init(b_key, obs["spectrogram"])
+        opt_state = self.optimizer.init(params)
+        carry = SAViCarry(
+            env_state=env_state,
+            obs=obs,
+            policy_state=pstate,
+            prev_done=jnp.zeros(self.env.num_envs, bool),
+            location_belief=loc_belief,
+            rng=rng,
+        )
+        return params, opt_state, bparams, bopt, carry
+
+    def _with_beliefs(self, bparams, obs, location_belief):
+        obs = dict(obs)
+        if self.savi.use_belief_predictor and bparams is not None:
+            loc, logits = self.belief.predict(bparams, obs["spectrogram"])
+            obs["category_belief"] = jax.nn.softmax(logits)
+            obs["location_belief"] = location_belief
+        else:
+            obs["location_belief"] = location_belief
+        return obs
+
+    # ----------------------------------------------------------- train step
+    def make_train_step(self, axis_name: str | None = None):
+        ppo_cfg, savi = self.ppo, self.savi
+
+        def rollout(params, bparams, carry: SAViCarry, scene, episodes):
+            init_pstate = carry.policy_state
+
+            def one_step(c: SAViCarry, _):
+                rng, key = jax.random.split(c.rng)
+                not_done = 1.0 - c.prev_done.astype(jnp.float32)
+                # belief location update (temporal smoothing happens on the
+                # predictor's fresh estimate each step)
+                if savi.use_belief_predictor and bparams is not None:
+                    fresh_loc, _ = self.belief.predict(
+                        bparams, c.obs["spectrogram"]
+                    )
+                else:
+                    fresh_loc = c.location_belief
+                obs_b = self._with_beliefs(bparams, c.obs, fresh_loc)
+                action, logp, value, pstate = self.policy.apply(
+                    params, obs_b, c.policy_state, not_done, key,
+                    method=self.policy.act,
+                )
+                env_state, obs, reward, done, info = self.env.step_pure(
+                    scene, episodes, c.env_state, action
+                )
+                out = dict(
+                    obs=c.obs,
+                    beliefs=fresh_loc,
+                    actions=action,
+                    log_probs=logp,
+                    values=value,
+                    rewards=reward,
+                    dones=done,
+                    prev_dones=c.prev_done,
+                    infos=info,
+                )
+                return (
+                    SAViCarry(env_state, obs, pstate, done, fresh_loc, rng),
+                    out,
+                )
+
+            carry2, traj = jax.lax.scan(
+                one_step, carry, None, length=ppo_cfg.num_steps
+            )
+            # bootstrap value
+            not_done = 1.0 - carry2.prev_done.astype(jnp.float32)
+            obs_b = self._with_beliefs(bparams, carry2.obs, carry2.location_belief)
+            _, _, last_value, _ = self.policy.apply(
+                params, obs_b, carry2.policy_state, not_done,
+                jax.random.PRNGKey(0), True, method=self.policy.act,
+            )
+            return carry2, traj, init_pstate, last_value
+
+        def loss_fn(params, bparams, traj, init_pstate, adv, returns, clip):
+            obs_b = jax.vmap(
+                lambda o, l: self._with_beliefs(bparams, o, l)
+            )(traj["obs"], traj["beliefs"])
+            logp, entropy, values = self.policy.apply(
+                params, obs_b, init_pstate, traj["prev_dones"], traj["actions"],
+                method=self.policy.evaluate_actions,
+            )
+            ratio = jnp.exp(logp - traj["log_probs"])
+            surr1 = ratio * adv
+            surr2 = jnp.clip(ratio, 1 - clip, 1 + clip) * adv
+            action_loss = -jnp.minimum(surr1, surr2).mean()
+            v_clip = traj["values"] + jnp.clip(
+                values - traj["values"], -clip, clip
+            )
+            value_loss = 0.5 * jnp.maximum(
+                (values - returns) ** 2, (v_clip - returns) ** 2
+            ).mean()
+            ent = entropy.mean()
+            total = (
+                action_loss
+                + ppo_cfg.value_loss_coef * value_loss
+                - ppo_cfg.entropy_coef * ent
+            )
+            return total, {
+                "action_loss": action_loss,
+                "value_loss": value_loss,
+                "entropy": ent,
+            }
+
+        def step(params, opt_state, bparams, bopt, carry, rng, clip,
+                 scene, episodes):
+            carry, traj, init_pstate, last_value = rollout(
+                params, bparams, carry, scene, episodes
+            )
+            adv, returns = compute_gae(
+                traj["rewards"], traj["values"], traj["dones"], last_value,
+                ppo_cfg.gamma, ppo_cfg.tau,
+            )
+            adv = normalize_advantages(adv, axis_name)
+
+            grad_fn = jax.grad(loss_fn, has_aux=True)
+
+            def epoch(carry_in, key):
+                params, opt_state = carry_in
+                grads, metrics = grad_fn(
+                    params, bparams, traj, init_pstate, adv, returns, clip
+                )
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, ppo_cfg.max_grad_norm / (gnorm + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            keys = jax.random.split(rng, ppo_cfg.ppo_epoch)
+            (params, opt_state), metrics = jax.lax.scan(
+                epoch, (params, opt_state), keys
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
+
+            # online belief-predictor training against ground truth
+            if savi.use_belief_predictor and savi.online_belief_training:
+                spec = traj["obs"]["spectrogram"].reshape(
+                    (-1,) + traj["obs"]["spectrogram"].shape[2:]
+                )
+                gt_loc = traj["obs"]["pointgoal_with_gps_compass"]
+                gt_xy = jnp.stack(
+                    [
+                        gt_loc[..., 0] * jnp.cos(gt_loc[..., 1]),
+                        gt_loc[..., 0] * jnp.sin(gt_loc[..., 1]),
+                    ],
+                    axis=-1,
+                ).reshape(-1, 2)
+                gt_cat = jnp.argmax(traj["obs"]["category"], -1).reshape(-1)
+                audible = (
+                    jnp.abs(spec).sum(axis=(1, 2, 3)) > 1e-6
+                )
+                bparams, bopt, baux = self.belief.update(
+                    bparams, bopt, spec, gt_xy, gt_cat, audible
+                )
+                metrics.update(baux)
+
+            done_f = traj["dones"].astype(jnp.float32)
+            n_done = jnp.maximum(done_f.sum(), 1.0)
+            metrics.update(
+                {
+                    "reward": traj["rewards"].sum(0).mean(),
+                    "episodes": done_f.sum(),
+                    **{
+                        k: (v * done_f).sum() / n_done
+                        for k, v in traj["infos"].items()
+                    },
+                }
+            )
+            return params, opt_state, bparams, bopt, carry, metrics
+
+        return step

@@ -138,16 +138,28 @@ def make_synthetic_assets(
     image_size: int = 128,
     modalities=("depth",),
     seed: int = 0,
+    use_native_tracer: bool = False,
+    num_rays: int = 500,
 ) -> SceneAssets:
     """One fully-populated synthetic scene. Defaults mimic an MP3D-scale
-    setup (16 kHz RIRs -> 65x26x2 spectrograms)."""
+    setup (16 kHz RIRs -> 65x26x2 spectrograms). With `use_native_tracer`
+    the RIRs come from the C++ geometric-acoustics ray tracer
+    (csrc/rir_tracer.cpp) instead of the numpy model."""
     side = max(int(np.sqrt(num_nodes_hint / 0.8)), 3)
     graph = SceneGraph.grid(side, side, obstacle_fraction=0.2, seed=seed)
     rng = np.random.default_rng(seed + 1)
     goal_nodes = rng.choice(graph.num_nodes, size=min(num_goals, graph.num_nodes), replace=False)
     goal_nodes = np.sort(goal_nodes).astype(np.int32)
     rir_max_len = rir_max_len or sampling_rate // 2
-    rirs = synth_rir_bank(graph, goal_nodes, sampling_rate, rir_max_len, seed=seed)
+    if use_native_tracer:
+        from soundspaces_tpu.tools.rir_synth import synth_rir_bank_native
+
+        rirs = synth_rir_bank_native(
+            graph, goal_nodes, sampling_rate, rir_max_len,
+            num_rays=num_rays, seed=seed,
+        )
+    else:
+        rirs = synth_rir_bank(graph, goal_nodes, sampling_rate, rir_max_len, seed=seed)
     sounds, lengths = synth_source_sounds(num_sounds, max_secs, sampling_rate, seed)
     acoustics = AcousticBank.build(
         graph, rirs, goal_nodes, sounds, lengths, sampling_rate
