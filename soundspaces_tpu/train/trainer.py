@@ -170,6 +170,8 @@ class PPOTrainer:
                 resume_from, params, opt_state
             )
 
+        from soundspaces_tpu.train import preemption
+
         step_fn = jax.jit(self.make_train_step())
         window: list[float] = []
         t0 = time.time()
@@ -194,6 +196,13 @@ class PPOTrainer:
                     log_fn(update, m)
             if (update + 1) % cfg.checkpoint_interval == 0:
                 self.save_checkpoint(params, opt_state, update + 1)
+            if preemption.EXIT_REQUESTED:
+                # snapshot at the update boundary and optionally requeue
+                # (the reference's SIGUSR1 flow, ddppo_trainer.py:250-272)
+                path = self.save_checkpoint(params, opt_state, update + 1)
+                if preemption.REQUEUE_REQUESTED:
+                    preemption.requeue_job()
+                break
         return params, opt_state, carry
 
     # ------------------------------------------------------------------- eval

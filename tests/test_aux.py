@@ -1,0 +1,128 @@
+"""Aux subsystems: tb writer, video generation, preemption snapshot,
+pretraining pipeline."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+import jax
+
+from soundspaces_tpu.scene import make_synthetic_assets
+
+
+def test_tensorboard_writer(tmp_path):
+    from soundspaces_tpu.utils.tb import TensorboardWriter
+
+    with TensorboardWriter(str(tmp_path / "tb")) as w:
+        w.add_scalars({"reward": 1.0, "spl": 0.5}, step=1, prefix="train/")
+        w.add_video_from_np_images(
+            "vid", 1, [np.zeros((8, 8, 3), np.uint8)] * 3, fps=2
+        )
+    assert any(
+        f.startswith("events") for f in os.listdir(tmp_path / "tb")
+    )
+    # no-op mode
+    w2 = TensorboardWriter(None)
+    w2.add_scalar("x", 1.0, 0)
+    w2.close()
+
+
+def test_video_with_audio(tmp_path):
+    from soundspaces_tpu.utils.video import images_to_video_with_audio
+
+    frames = [np.full((32, 32, 3), i * 20, np.uint8) for i in range(5)]
+    audios = [np.random.randn(2, 4000).astype(np.float32) for _ in range(5)]
+    vp, wp = images_to_video_with_audio(
+        frames, audios, str(tmp_path), "demo", sampling_rate=4000, fps=1
+    )
+    assert os.path.getsize(vp) > 0
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(wp)
+    assert sr == 4000 and data.shape == (5 * 4000, 2)
+
+
+def test_observations_to_image():
+    from soundspaces_tpu.utils.video import observations_to_image
+
+    obs = {
+        "depth": np.random.rand(32, 32, 1).astype(np.float32),
+        "spectrogram": np.random.rand(65, 26, 2).astype(np.float32),
+    }
+    img = observations_to_image(obs)
+    assert img.dtype == np.uint8 and img.shape[0] == 32 and img.shape[1] > 32
+
+
+def test_preemption_signal_and_snapshot(tmp_path):
+    from soundspaces_tpu.train import preemption
+
+    preemption.EXIT_REQUESTED = False
+    preemption.REQUEUE_REQUESTED = False
+    preemption.add_signal_handlers()
+    os.kill(os.getpid(), signal.SIGUSR1)
+    assert preemption.EXIT_REQUESTED and preemption.REQUEUE_REQUESTED
+
+    state = {"params": {"w": np.ones((2, 2), np.float32)}, "update": 7}
+    path = preemption.save_interrupted_state(str(tmp_path), state)
+    restored = preemption.load_interrupted_state(str(tmp_path), state)
+    assert restored["update"] == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), state["params"]["w"]
+    )
+    preemption.EXIT_REQUESTED = False
+    preemption.REQUEUE_REQUESTED = False
+
+
+def test_trainer_stops_on_preemption(tmp_path):
+    """The train loop must checkpoint and stop at the next update boundary
+    after a preemption signal (ddppo_trainer.py:250-272 semantics)."""
+    from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+    from soundspaces_tpu.train import PPOConfig, PPOTrainer, TrainerConfig
+    from soundspaces_tpu.train import preemption
+
+    assets = make_synthetic_assets(num_nodes_hint=20, sampling_rate=4000,
+                                   rir_max_len=600, image_size=16, seed=71)
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 16, seed=72)
+    env = AudioNavEnv(EnvConfig(sensors=("spectrogram", "depth"),
+                                max_episode_steps=10), scene, episodes, 2)
+    trainer = PPOTrainer(
+        TrainerConfig(num_updates=100, num_envs=2, log_interval=1,
+                      checkpoint_interval=1000,
+                      checkpoint_folder=str(tmp_path)),
+        PPOConfig(num_steps=2, hidden_size=16, ppo_epoch=1, num_mini_batch=1),
+        env,
+    )
+    updates_seen = []
+    preemption.EXIT_REQUESTED = False
+
+    def log_fn(update, m):
+        updates_seen.append(update)
+        if update == 1:
+            preemption.EXIT_REQUESTED = True
+
+    trainer.train(jax.random.PRNGKey(0), log_fn=log_fn)
+    assert max(updates_seen) <= 2  # stopped right after the signal
+    assert any(f.startswith("ckpt.") for f in os.listdir(tmp_path))
+    preemption.EXIT_REQUESTED = False
+
+
+def test_pretraining_pipeline():
+    from soundspaces_tpu.savi.pretraining import (
+        build_audiogoal_dataset,
+        pretrain_audiogoal_predictor,
+    )
+
+    assets = make_synthetic_assets(num_nodes_hint=20, sampling_rate=4000,
+                                   rir_max_len=600, image_size=8,
+                                   num_sounds=3, seed=73)
+    ds = build_audiogoal_dataset(assets, num_samples=64, seed=74)
+    assert ds["spectrogram"].shape[0] == 64
+    assert np.isfinite(ds["spectrogram"]).all()
+    res = pretrain_audiogoal_predictor(
+        ds, num_categories=21, batch_size=16, num_epochs=4, lr=2e-3
+    )
+    assert res.history[-1]["ce"] < res.history[0]["ce"]
+    assert np.isfinite(res.history[-1]["mse"])
