@@ -27,8 +27,10 @@ import numpy as np
 NUM_ENVS = 256
 SAMPLING_RATE = 44100
 RIR_LEN = 44100  # 1 s binaural RIRs (Replica scale)
+NUM_NODES = 64  # keeps the RIR bank ~0.36 GB: the axon tunnel uploads at
+# only a few MB/s, and device->host sync is blocked behind pending uploads
 SCAN_STEPS = 20
-TIMED_CALLS = 3
+TIMED_CALLS = 10
 
 
 def build_world():
@@ -43,7 +45,7 @@ def build_world():
     from soundspaces_tpu.scene import make_synthetic_assets
 
     assets = make_synthetic_assets(
-        num_nodes_hint=100,
+        num_nodes_hint=NUM_NODES,
         num_goals=4,
         num_sounds=2,
         sampling_rate=SAMPLING_RATE,
@@ -106,29 +108,33 @@ def bench_tpu() -> float:
 
     k_steps = jax.jit(k_steps)
     scene, episodes = env.scene, env.episodes
-    # force the bank upload to finish before anything is timed
-    jax.block_until_ready((scene, episodes))
+
+    # UPLOAD BARRIER: block_until_ready does not cover the tunnel's slow
+    # host->device streaming, and fetches fail while uploads are pending.
+    # Force completion by fetching a scalar that depends on every large bank.
+    probe = (
+        jnp.sum(scene.rir[0, 0, 0, 0, :128].astype(jnp.float32))
+        + jnp.sum(jnp.abs(scene.seg_block_fft[0, 0, 0, :16]))
+        + sum(jnp.sum(v[0, 0]).astype(jnp.float32) for v in scene.frames.values())
+    )
+    t_up = time.time()
+    _fetch_scalar_with_retry(probe, tries=40, sleep_s=15.0)
+    print(f"bank upload + sync: {time.time()-t_up:.0f}s", file=sys.stderr)
 
     state, obs = env.reset(jax.random.PRNGKey(0))
-    jax.block_until_ready(state)
-    # warmup/compile
+    # warmup/compile; fetch = true sync
     state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(1))
-    jax.block_until_ready(chk)
+    _fetch_scalar_with_retry(chk, tries=20, sleep_s=10.0)
 
     t0 = time.time()
     total = 0
     for i in range(TIMED_CALLS):
         state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(2 + i))
         total += NUM_ENVS * SCAN_STEPS
-    # device-side sync only: the axon tunnel's device->host path is flaky
-    # after large fused programs, and timing needs no transfers at all
-    jax.block_until_ready(chk)
+    # fetch-based sync: the only operation this backend actually blocks on
+    v = _fetch_scalar_with_retry(chk, tries=20, sleep_s=10.0)
     dt = time.time() - t0
-    try:
-        print(f"checksum: {_fetch_scalar_with_retry(chk, tries=2, sleep_s=5):.4f}",
-              file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"checksum fetch skipped (tunnel D2H flake): {e!r}", file=sys.stderr)
+    print(f"checksum: {v:.4f}; {total} obs in {dt:.2f}s", file=sys.stderr)
     return total / dt
 
 
@@ -164,7 +170,7 @@ def main():
         baseline = None
 
     last_err = None
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             rate = bench_tpu()
             result["value"] = round(rate, 1)
@@ -174,7 +180,7 @@ def main():
         except Exception as e:  # TPU tunnel flakes: cool down and retry
             last_err = e
             print(f"bench attempt {attempt} failed: {e!r}", file=sys.stderr)
-            time.sleep(60)
+            time.sleep(30)
     else:
         result["error"] = repr(last_err)
 

@@ -151,16 +151,22 @@ def partitioned_windowed_convolve(
     p = num_partitions(l, b)
     t_out = k_total - p + 1
 
+    # Layout discipline: keep every materialized tensor 2-D [small, F] so the
+    # TPU (8, 128) tile pads the frequency axis only. A [T, P, F]/[T, C, F]
+    # einsum formulation puts two tiny dims innermost and XLA pads them to
+    # 8x128 — a measured 28x HBM blowup at production shapes.
     pad = p * b - l
-    parts = jnp.pad(rir, ((0, 0), (0, pad))).reshape(c, p, b)
-    h = jnp.fft.rfft(parts, n=2 * b)  # [C, P, F]
+    parts = jnp.pad(rir, ((0, 0), (0, pad))).reshape(c * p, b)
+    h = jnp.fft.rfft(parts, n=2 * b).reshape(c, p, f)
 
-    # S windows: for output block t, spectra S_{t-p} for p=0..P-1 ==
-    # seg_block_fft[t + P-1 - p] -> gather [T, P, F] (reversed partition order)
-    idx = (jnp.arange(t_out)[:, None] + jnp.arange(p - 1, -1, -1)[None, :])
-    s_win = seg_block_fft[idx]  # [T, P, F]
+    # frequency-domain delay line: Y_t = sum_p S_{t-p} H_p, accumulated over
+    # the (static, small) partition count
+    acc = jnp.zeros((t_out * c, f), seg_block_fft.dtype)
+    for pi in range(p):
+        s = jax.lax.slice_in_dim(seg_block_fft, p - 1 - pi, p - 1 - pi + t_out)
+        contrib = (s[:, None, :] * h[None, :, pi, :]).reshape(t_out * c, f)
+        acc = acc + contrib
 
-    y_f = jnp.einsum("tpf,cpf->tcf", s_win, h)  # MXU: complex matmul over P
-    y = jnp.fft.irfft(y_f, n=2 * b)[..., b:]  # overlap-save: keep 2nd half
-    y = jnp.transpose(y, (1, 0, 2)).reshape(c, t_out * b)
+    y = jnp.fft.irfft(acc, n=2 * b)[:, b:]  # overlap-save: keep 2nd half
+    y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)
     return y[:, :window_len]
