@@ -44,21 +44,76 @@ def build_world():
     )
     from soundspaces_tpu.scene import make_synthetic_assets
 
+    from soundspaces_tpu.ops.partitioned import segment_block_ffts_from_source
+
+    # small host-side scaffold: graph, sounds, frames (total upload ~30 MB).
+    # The heavy RIR bank is GENERATED ON DEVICE below — the tunnel uploads at
+    # only a few MB/s, so transferring a 0.4 GB bank starves the benchmark.
     assets = make_synthetic_assets(
         num_nodes_hint=NUM_NODES,
         num_goals=4,
         num_sounds=2,
         sampling_rate=SAMPLING_RATE,
-        rir_max_len=RIR_LEN,
+        rir_max_len=256,  # placeholder; replaced by the device-side bank
         max_secs=2,
         image_size=128,
         modalities=("depth",),
         seed=0,
     )
-    # bfloat16 RIR bank: halves HBM footprint + host->device upload (the
-    # convolution upcasts per-gather; production default for bandwidth)
-    scene = DeviceScene.from_assets(assets, rir_dtype=jnp.bfloat16)
+    scene = DeviceScene.from_assets(assets)
     episodes = make_episode_bank(assets, 256, seed=1, min_geodesic_hops=2)
+
+    @jax.jit
+    def device_banks(points, goal_nodes, sounds, lengths, key):
+        n, g = points.shape[0], goal_nodes.shape[0]
+        sr, rl = SAMPLING_RATE, RIR_LEN
+        delta = points[goal_nodes][None, :, :] - points[:, None, :]  # [N,G,3]
+        dist = jnp.maximum(jnp.hypot(delta[..., 0], delta[..., 2]), 0.25)
+        src_dir = jnp.arctan2(delta[..., 2], delta[..., 0])  # [N, G]
+        t = jnp.arange(rl, dtype=jnp.float32) / sr
+        decay = jnp.exp(-t / 0.12)
+        rirs = []
+        for ai in range(4):
+            orientation = jnp.deg2rad(270.0 + 90.0 * ai)
+            rel = src_dir - orientation
+            ild = 0.5 + 0.4 * jnp.sin(rel)
+            d_samp = jnp.round(dist / 343.0 * sr).astype(jnp.int32)
+            onset = (
+                jnp.arange(rl, dtype=jnp.int32)[None, None, :]
+                == d_samp[..., None]
+            ).astype(jnp.float32)
+            chs = []
+            for ch, gain in ((0, 1.0 - ild), (1, ild)):
+                key_ch = jax.random.fold_in(key, ai * 2 + ch)
+                noise = jax.random.normal(key_ch, (n, g, rl), jnp.float32)
+                tail = noise * decay[None, None, :] * (
+                    0.05 / jnp.maximum(dist, 0.5)
+                )[..., None]
+                chs.append(onset * (gain / dist)[..., None] + 0.7 * tail)
+            rirs.append(jnp.stack(chs, axis=2))
+        rir = jnp.stack(rirs, axis=0).astype(jnp.bfloat16)  # [4,N,G,2,L]
+
+        def seg_for(sound, length, sec):
+            return segment_block_ffts_from_source(
+                sound, sec * sr, sr, rl, 8192, length=length * sr, wrap=True
+            )
+
+        secs = jnp.arange(2)
+        seg = jax.vmap(
+            lambda snd, ln: jax.vmap(lambda s: seg_for(snd, ln, s))(secs)
+        )(sounds, lengths)
+        return rir, seg
+
+    rir, seg = device_banks(
+        scene.points,
+        jnp.asarray(np.asarray(assets.acoustics.goal_nodes)),
+        scene.sounds,
+        scene.sound_lengths_sec,
+        jax.random.PRNGKey(7),
+    )
+    scene = scene.replace(
+        rir=rir, seg_block_fft=seg, rir_max_len=RIR_LEN, conv_block=8192
+    )
     env = AudioNavEnv(
         EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, NUM_ENVS
     )
@@ -111,15 +166,23 @@ def bench_tpu() -> float:
 
     # UPLOAD BARRIER: block_until_ready does not cover the tunnel's slow
     # host->device streaming, and fetches fail while uploads are pending.
-    # Force completion by fetching a scalar that depends on every large bank.
-    probe = (
-        jnp.sum(scene.rir[0, 0, 0, 0, :128].astype(jnp.float32))
-        + jnp.sum(jnp.abs(scene.seg_block_fft[0, 0, 0, :16]))
-        + sum(jnp.sum(v[0, 0]).astype(jnp.float32) for v in scene.frames.values())
-    )
+    # Heavy banks are device-generated; the remaining host uploads (frames,
+    # tables) are ~30 MB. Fetch a scalar that depends on all of them.
+    @jax.jit
+    def probe_fn(scene):
+        return (
+            jnp.sum(scene.rir[0, 0, 0, 0, :128].astype(jnp.float32))
+            + jnp.sum(jnp.abs(scene.seg_block_fft[0, 0, 0, :16]))
+            + sum(
+                jnp.sum(v[0, 0]).astype(jnp.float32)
+                for v in scene.frames.values()
+            )
+            + jnp.sum(scene.points)
+        )
+
     t_up = time.time()
-    _fetch_scalar_with_retry(probe, tries=40, sleep_s=15.0)
-    print(f"bank upload + sync: {time.time()-t_up:.0f}s", file=sys.stderr)
+    _fetch_scalar_with_retry(probe_fn(scene), tries=25, sleep_s=10.0)
+    print(f"bank setup + sync: {time.time()-t_up:.0f}s", file=sys.stderr)
 
     state, obs = env.reset(jax.random.PRNGKey(0))
     # warmup/compile; fetch = true sync

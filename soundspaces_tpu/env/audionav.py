@@ -104,6 +104,8 @@ class AudioNavEnv:
                 shapes[name] = (2,)
             elif name == "oracle_action":
                 shapes[name] = (1,)
+            elif name == "egomap":
+                shapes[name] = (31, 31, 2)
             else:
                 raise KeyError(f"unknown sensor {name!r}")
         return shapes
@@ -248,7 +250,36 @@ class AudioNavEnv:
                 obs[name] = self._oracle_action(scene, state)[None].astype(
                     jnp.float32
                 )
+            elif name == "egomap":
+                obs[name] = self._egomap(scene, state)
         return obs
+
+    def _egomap(self, scene, state: EnvState, size: int = 31) -> jax.Array:
+        """Egocentric occupancy/explored map [size, size, 2] at 0.1 m,
+        agent centered and facing up — the EgoMap sensor
+        (soundspaces/tasks/nav.py:235-405; 31^2 @ 0.1 m per
+        av_wan/config/default.py:155-158), sourced from the true walkable
+        grid instead of a depth projection."""
+        gx, gz = scene.node_grid_xz[state.node, 0], scene.node_grid_xz[state.node, 1]
+        h, w = scene.occupancy.shape
+        crop = jax.lax.dynamic_slice(
+            scene.occupancy,
+            (jnp.clip(gz - size // 2, 0, h - size),
+             jnp.clip(gx - size // 2, 0, w - size)),
+            (size, size),
+        )
+        # rotate so the agent faces up (-row): undo the heading
+        crop = jax.lax.switch(
+            state.rot_idx % 4,
+            [
+                lambda p: p,
+                lambda p: jnp.rot90(p, k=3),
+                lambda p: jnp.rot90(p, k=2),
+                lambda p: jnp.rot90(p, k=1),
+            ],
+            crop,
+        )
+        return jnp.stack([1.0 - crop, jnp.ones_like(crop)], axis=-1)
 
     def _audiogoal(self, scene, state: EnvState) -> jax.Array:
         """Binaural waveform [2, sr]: gather the pose's RIR, convolve with the

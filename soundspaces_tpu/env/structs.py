@@ -58,10 +58,13 @@ class DeviceScene:
     sounds: jax.Array  # [S, max_samples] f32 raw waveforms (continuous mode)
     sound_lengths_sec: jax.Array  # [S] i32
     frames: dict[str, jax.Array]  # name -> [N, 4, H, W, C]
+    occupancy: jax.Array  # [Gz, Gx] f32 walkable grid at egomap_resolution
+    node_grid_xz: jax.Array  # [N, 2] i32 occupancy-cell coords per node
     grid_size: float = struct.field(pytree_node=False, default=0.5)
     sampling_rate: int = struct.field(pytree_node=False, default=16000)
     rir_max_len: int = struct.field(pytree_node=False, default=8000)
     conv_block: int = struct.field(pytree_node=False, default=8192)
+    egomap_resolution: float = struct.field(pytree_node=False, default=0.1)
 
     @classmethod
     def from_assets(cls, assets: SceneAssets, rir_dtype=None) -> "DeviceScene":
@@ -69,6 +72,7 @@ class DeviceScene:
         host->device transfer; the convolution upcasts per-gather."""
         g, ac = assets.graph, assets.acoustics
         rir = ac.rir if rir_dtype is None else ac.rir.astype(rir_dtype)
+        occupancy, node_xz = _occupancy_grid(g, resolution=0.1)
         return cls(
             points=jnp.asarray(g.points),
             forward_neighbor=jnp.asarray(g.forward_neighbor),
@@ -81,6 +85,8 @@ class DeviceScene:
             sounds=jnp.asarray(ac.sounds),
             sound_lengths_sec=jnp.asarray(ac.sound_lengths_sec),
             frames={k: jnp.asarray(v) for k, v in assets.frames.modalities.items()},
+            occupancy=jnp.asarray(occupancy),
+            node_grid_xz=jnp.asarray(node_xz),
             grid_size=float(g.grid_size),
             sampling_rate=int(ac.sampling_rate),
             rir_max_len=int(ac.rir_max_len),
@@ -92,6 +98,30 @@ class DeviceScene:
         return jnp.where(
             hops >= UNREACHABLE, jnp.inf, hops.astype(jnp.float32) * self.grid_size
         )
+
+
+def _occupancy_grid(graph, resolution: float = 0.1):
+    """Walkable occupancy at egomap resolution + per-node cell coords
+    (source of the EgoMap sensor; the reference projects depth instead,
+    soundspaces/tasks/nav.py:235-405 — on the graph sim the true walkable
+    footprint is known)."""
+    pts = graph.points
+    x0, z0 = pts[:, 0].min(), pts[:, 2].min()
+    scale = int(round(graph.grid_size / resolution))
+    half = scale // 2
+    gx = np.round((pts[:, 0] - x0) / resolution).astype(np.int64) + half
+    gz = np.round((pts[:, 2] - z0) / resolution).astype(np.int64) + half
+    # margin of blocked cells so any egomap crop fits inside the grid
+    margin = 16
+    occ = np.zeros(
+        (gz.max() + half + 1 + 2 * margin, gx.max() + half + 1 + 2 * margin),
+        np.float32,
+    )
+    for dz in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            occ[gz + dz + margin, gx + dx + margin] = 1.0
+    node_xz = np.stack([gx + margin, gz + margin], axis=-1).astype(np.int32)
+    return occ, node_xz
 
 
 @struct.dataclass

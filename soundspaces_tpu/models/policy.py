@@ -30,6 +30,7 @@ class AudioNavBaselineNet(nn.Module):
     use_audio: bool = True
     use_pointgoal: bool = False
     audio_sensor: str = "spectrogram"
+    visual_encoder: str = "simple"  # or "resnet18"/"resnet50" (DD-PPO style)
 
     @nn.compact
     def __call__(self, observations, hidden, masks):
@@ -43,7 +44,16 @@ class AudioNavBaselineNet(nn.Module):
             if self.use_audio:
                 feats.append(AudioCNN(self.hidden_size, self.audio_sensor)(obs))
             if self.use_visual:
-                feats.append(VisualCNN(self.hidden_size)(obs))
+                if self.visual_encoder == "simple":
+                    feats.append(VisualCNN(self.hidden_size)(obs))
+                else:
+                    from soundspaces_tpu.models.resnet import ResNetVisualEncoder
+
+                    feats.append(
+                        ResNetVisualEncoder(
+                            self.hidden_size, self.visual_encoder
+                        )(obs)
+                    )
             if self.use_pointgoal:
                 feats.append(obs["pointgoal_with_gps_compass"])
             return jnp.concatenate(feats, axis=-1)

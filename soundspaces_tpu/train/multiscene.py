@@ -61,6 +61,8 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
         k: stack(lambda s, k=k: s.frames[k]) for k in first.frames
     }
     return DeviceScene(
+        occupancy=stack(lambda s: s.occupancy),
+        node_grid_xz=stack(lambda s: s.node_grid_xz),
         points=stack(lambda s: s.points),
         forward_neighbor=stack(lambda s: s.forward_neighbor, fill=-1),
         geodesic_hops=stack(lambda s: s.geodesic_hops, fill=int(UNREACHABLE)),
