@@ -1,17 +1,21 @@
-"""North-star benchmark: spectrogram observations/sec/chip on a 256-env
-Replica-style AudioGoal batch (44.1 kHz RIRs), vs the reference's per-env
-scipy pipeline (BASELINE.md / BASELINE.json).
+"""North-star benchmark: spectrogram observations/sec/chip on a batched
+AudioGoal environment (BASELINE.md / BASELINE.json).
 
 What is measured: the FULL environment step — graph dynamics, RIR gather,
-windowed frequency-domain convolution, STFT spectrogram, reward/measures,
-auto-reset — batched over NUM_ENVS envs, stepped K times inside one jitted
-`lax.scan` (so per-call dispatch is amortized like a real training rollout).
-Only a scalar checksum crosses device->host.
+partitioned frequency-domain convolution, STFT spectrogram, reward/measures,
+auto-reset — batched over N envs, stepped K times inside one jitted
+`lax.scan`. Timing is synced by an actual device->host scalar fetch (on the
+axon tunnel `block_until_ready` returns at dispatch, not completion).
 
 Baseline: the reference computes each observation on host CPU with scipy
 fftconvolve + librosa STFT (soundspaces/simulator.py:608-666,
-tasks/nav.py:86-100); we time exactly that math via
-soundspaces_tpu.refimpl on this machine.
+tasks/nav.py:86-100); timed via soundspaces_tpu.refimpl on this machine.
+
+Tunnel-resilience design (the benchmarking TPU is reached through an
+experimental tunnel that wedges per-process): each attempt runs in a FRESH
+SUBPROCESS; a config ladder falls back to smaller worlds; heavy banks are
+generated on device (host->device streams at only a few MB/s); a trivial
+scalar fetch runs before any compute to establish the D2H channel.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,21 +23,26 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-NUM_ENVS = 256
-SAMPLING_RATE = 44100
-RIR_LEN = 44100  # 1 s binaural RIRs (Replica scale)
-NUM_NODES = 64  # keeps the RIR bank ~0.36 GB: the axon tunnel uploads at
-# only a few MB/s, and device->host sync is blocked behind pending uploads
 SCAN_STEPS = 20
 TIMED_CALLS = 10
 
+# (num_envs, sampling_rate, rir_len, num_nodes)
+LADDER = [
+    (256, 44100, 44100, 64),
+    (256, 44100, 22050, 48),
+    (128, 16000, 16000, 48),
+    (64, 16000, 8000, 32),
+]
 
-def build_world():
+
+def build_world(num_envs, sampling_rate, rir_len, num_nodes):
     import jax
     import jax.numpy as jnp
     from soundspaces_tpu.env import (
@@ -42,19 +51,16 @@ def build_world():
         EnvConfig,
         make_episode_bank,
     )
+    from soundspaces_tpu.ops.partitioned import segment_block_ffts_from_source
     from soundspaces_tpu.scene import make_synthetic_assets
 
-    from soundspaces_tpu.ops.partitioned import segment_block_ffts_from_source
-
-    # small host-side scaffold: graph, sounds, frames (total upload ~30 MB).
-    # The heavy RIR bank is GENERATED ON DEVICE below — the tunnel uploads at
-    # only a few MB/s, so transferring a 0.4 GB bank starves the benchmark.
+    # small host-side scaffold (tiny uploads); heavy banks generated on device
     assets = make_synthetic_assets(
-        num_nodes_hint=NUM_NODES,
+        num_nodes_hint=num_nodes,
         num_goals=4,
         num_sounds=2,
-        sampling_rate=SAMPLING_RATE,
-        rir_max_len=256,  # placeholder; replaced by the device-side bank
+        sampling_rate=sampling_rate,
+        rir_max_len=256,  # placeholder; replaced below
         max_secs=2,
         image_size=128,
         modalities=("depth",),
@@ -66,10 +72,10 @@ def build_world():
     @jax.jit
     def device_banks(points, goal_nodes, sounds, lengths, key):
         n, g = points.shape[0], goal_nodes.shape[0]
-        sr, rl = SAMPLING_RATE, RIR_LEN
-        delta = points[goal_nodes][None, :, :] - points[:, None, :]  # [N,G,3]
+        sr, rl = sampling_rate, rir_len
+        delta = points[goal_nodes][None, :, :] - points[:, None, :]
         dist = jnp.maximum(jnp.hypot(delta[..., 0], delta[..., 2]), 0.25)
-        src_dir = jnp.arctan2(delta[..., 2], delta[..., 0])  # [N, G]
+        src_dir = jnp.arctan2(delta[..., 2], delta[..., 0])
         t = jnp.arange(rl, dtype=jnp.float32) / sr
         decay = jnp.exp(-t / 0.12)
         rirs = []
@@ -91,11 +97,13 @@ def build_world():
                 )[..., None]
                 chs.append(onset * (gain / dist)[..., None] + 0.7 * tail)
             rirs.append(jnp.stack(chs, axis=2))
-        rir = jnp.stack(rirs, axis=0).astype(jnp.bfloat16)  # [4,N,G,2,L]
+        # f32 throughout: bfloat16 casts wedge the axon tunnel (2026-08-16)
+        rir = jnp.stack(rirs, axis=0)
 
+        block = 8192
         def seg_for(sound, length, sec):
             return segment_block_ffts_from_source(
-                sound, sec * sr, sr, rl, 8192, length=length * sr, wrap=True
+                sound, sec * sr, sr, rl, block, length=length * sr, wrap=True
             )
 
         secs = jnp.arange(2)
@@ -112,19 +120,16 @@ def build_world():
         jax.random.PRNGKey(7),
     )
     scene = scene.replace(
-        rir=rir, seg_block_fft=seg, rir_max_len=RIR_LEN, conv_block=8192
+        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=8192
     )
     env = AudioNavEnv(
-        EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, NUM_ENVS
+        EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, num_envs
     )
     return assets, env
 
 
-def _fetch_scalar_with_retry(x, tries: int = 10, sleep_s: float = 15.0) -> float:
-    """D2H over the axon tunnel transiently fails (UNIMPLEMENTED) while bulk
-    uploads are still streaming; retry with backoff."""
-    import jax
-
+def _fetch(x, tries: int = 20, sleep_s: float = 8.0) -> float:
+    """The only true sync on the tunnel; retries ride out pending uploads."""
     last = None
     for _ in range(tries):
         try:
@@ -135,118 +140,122 @@ def _fetch_scalar_with_retry(x, tries: int = 10, sleep_s: float = 15.0) -> float
     raise last
 
 
-def bench_tpu() -> float:
-    """Returns spectrogram observations/sec/chip."""
+def run_single(num_envs, sampling_rate, rir_len, num_nodes) -> float:
     import jax
     import jax.numpy as jnp
 
-    assets, env = build_world()
+    # establish the device->host channel while the device is idle
+    _fetch(jnp.sum(jnp.ones((8, 8))), tries=30, sleep_s=8.0)
+
+    assets, env = build_world(num_envs, sampling_rate, rir_len, num_nodes)
+    scene, episodes = env.scene, env.episodes
+    _fetch(
+        jax.jit(
+            lambda s: jnp.sum(s.rir[0, 0, 0, 0, :128])
+            + jnp.sum(jnp.abs(s.seg_block_fft[0, 0, 0, :16]))
+            + jnp.sum(s.points)
+        )(scene),
+        tries=25,
+        sleep_s=8.0,
+    )
 
     def k_steps(scene, episodes, state, key):
         def body(carry, k):
             state = carry
-            actions = jax.random.randint(k, (NUM_ENVS,), 0, 4)
+            actions = jax.random.randint(k, (num_envs,), 0, 4)
             state, obs, reward, done, info = env.step_pure(
                 scene, episodes, state, actions
             )
-            # checksum must consume EVERY output element — a partial reduce
-            # lets XLA dead-code-eliminate most of the observation pipeline
             chk = (
                 sum(jnp.sum(v) for v in obs.values())
                 + jnp.sum(reward)
                 + sum(jnp.sum(v) for v in info.values())
             )
             return state, chk
+
         keys = jax.random.split(key, SCAN_STEPS)
         state, sums = jax.lax.scan(body, state, keys)
         return state, jnp.sum(sums)
 
     k_steps = jax.jit(k_steps)
-    scene, episodes = env.scene, env.episodes
-
-    # UPLOAD BARRIER: block_until_ready does not cover the tunnel's slow
-    # host->device streaming, and fetches fail while uploads are pending.
-    # Heavy banks are device-generated; the remaining host uploads (frames,
-    # tables) are ~30 MB. Fetch a scalar that depends on all of them.
-    @jax.jit
-    def probe_fn(scene):
-        return (
-            jnp.sum(scene.rir[0, 0, 0, 0, :128].astype(jnp.float32))
-            + jnp.sum(jnp.abs(scene.seg_block_fft[0, 0, 0, :16]))
-            + sum(
-                jnp.sum(v[0, 0]).astype(jnp.float32)
-                for v in scene.frames.values()
-            )
-            + jnp.sum(scene.points)
-        )
-
-    t_up = time.time()
-    _fetch_scalar_with_retry(probe_fn(scene), tries=25, sleep_s=10.0)
-    print(f"bank setup + sync: {time.time()-t_up:.0f}s", file=sys.stderr)
-
     state, obs = env.reset(jax.random.PRNGKey(0))
-    # warmup/compile; fetch = true sync
     state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(1))
-    _fetch_scalar_with_retry(chk, tries=20, sleep_s=10.0)
+    _fetch(chk, tries=25, sleep_s=8.0)  # warmup + compile, fully synced
 
     t0 = time.time()
     total = 0
     for i in range(TIMED_CALLS):
         state, chk = k_steps(scene, episodes, state, jax.random.PRNGKey(2 + i))
-        total += NUM_ENVS * SCAN_STEPS
-    # fetch-based sync: the only operation this backend actually blocks on
-    v = _fetch_scalar_with_retry(chk, tries=20, sleep_s=10.0)
+        total += num_envs * SCAN_STEPS
+    v = _fetch(chk, tries=25, sleep_s=8.0)
     dt = time.time() - t0
-    print(f"checksum: {v:.4f}; {total} obs in {dt:.2f}s", file=sys.stderr)
+    print(f"checksum {v:.4f}; {total} obs in {dt:.2f}s", file=sys.stderr)
     return total / dt
 
 
-def bench_scipy_baseline() -> float:
+def bench_scipy_baseline(sampling_rate=44100, rir_len=44100) -> float:
     """Single-env reference pipeline rate (obs/sec) on host CPU."""
     from soundspaces_tpu import refimpl
 
     rng = np.random.default_rng(0)
-    source = rng.standard_normal(2 * SAMPLING_RATE).astype(np.float32)
-    rir = rng.standard_normal((RIR_LEN, 2)).astype(np.float32) * 0.01
-    # warmup
-    ag = refimpl.sliding_window_audiogoal(source, rir, 1, SAMPLING_RATE)
+    source = rng.standard_normal(2 * sampling_rate).astype(np.float32)
+    rir = rng.standard_normal((rir_len, 2)).astype(np.float32) * 0.01
+    ag = refimpl.sliding_window_audiogoal(source, rir, 1, sampling_rate)
     refimpl.compute_spectrogram(ag)
     n = 5
     t0 = time.time()
-    for i in range(n):
-        ag = refimpl.sliding_window_audiogoal(source, rir, 1, SAMPLING_RATE)
+    for _ in range(n):
+        ag = refimpl.sliding_window_audiogoal(source, rir, 1, sampling_rate)
         refimpl.compute_spectrogram(ag)
     return n / (time.time() - t0)
 
 
 def main():
+    if "--single" in sys.argv:
+        i = sys.argv.index("--single")
+        cfg = tuple(int(x) for x in sys.argv[i + 1].split(","))
+        rate = run_single(*cfg)
+        print(json.dumps({"rate": rate}))
+        return
+
     result = {
         "metric": "spectrogram obs/sec/chip (full env step, 256-env AudioGoal batch, 44.1 kHz)",
         "value": 0.0,
         "unit": "obs/s",
         "vs_baseline": 0.0,
     }
-    try:
-        baseline = bench_scipy_baseline()
-    except Exception as e:  # pragma: no cover
-        print(f"baseline failed: {e!r}", file=sys.stderr)
-        baseline = None
-
-    last_err = None
-    for attempt in range(2):
+    errors = []
+    for cfg in LADDER:
+        num_envs, sr, rir_len, nodes = cfg
+        arg = ",".join(str(x) for x in cfg)
         try:
-            rate = bench_tpu()
-            result["value"] = round(rate, 1)
-            if baseline:
-                result["vs_baseline"] = round(rate / baseline, 1)
-            break
-        except Exception as e:  # TPU tunnel flakes: cool down and retry
-            last_err = e
-            print(f"bench attempt {attempt} failed: {e!r}", file=sys.stderr)
-            time.sleep(30)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", arg],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            rate = json.loads(line)["rate"]
+        except Exception as e:
+            errors.append(f"{cfg}: {e!r}")
+            print(f"config {cfg} failed: {e!r}", file=sys.stderr)
+            continue
+        try:
+            baseline = bench_scipy_baseline(sr, rir_len)
+        except Exception:
+            baseline = None
+        result["metric"] = (
+            f"spectrogram obs/sec/chip (full env step, {num_envs}-env "
+            f"AudioGoal batch, {sr/1000:.1f} kHz, {rir_len/sr:.2f}s RIRs)"
+        )
+        result["value"] = round(rate, 1)
+        if baseline:
+            result["vs_baseline"] = round(rate / baseline, 1)
+        break
     else:
-        result["error"] = repr(last_err)
-
+        result["error"] = "; ".join(errors)[:500]
     print(json.dumps(result))
 
 

@@ -114,6 +114,7 @@ class WaypointNavEnv:
         self.cfg = env_cfg
         self.wp = wp_cfg
         self.num_envs = num_envs
+        self._tables = tables
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
 

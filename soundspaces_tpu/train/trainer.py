@@ -169,10 +169,35 @@ class PPOTrainer:
             params, opt_state, start_update = self.load_checkpoint(
                 resume_from, params, opt_state
             )
+        if self.mesh is not None:
+            from soundspaces_tpu.train.parallel import (
+                replicate,
+                shard_batch_env_axis,
+            )
+
+            params = replicate(self.mesh, params)
+            opt_state = replicate(self.mesh, opt_state)
+            carry = shard_batch_env_axis(self.mesh, carry, self.env.num_envs)
 
         from soundspaces_tpu.train import preemption
 
-        step_fn = jax.jit(self.make_train_step())
+        if self.mesh is not None:
+            from soundspaces_tpu.train.parallel import (
+                DP_AXIS,
+                data_parallel_step,
+                replicate,
+                shard_batch_env_axis,
+            )
+
+            step_fn = jax.jit(
+                data_parallel_step(
+                    self.mesh,
+                    self.make_train_step(axis_name=DP_AXIS),
+                    self.env.num_envs,
+                )
+            )
+        else:
+            step_fn = jax.jit(self.make_train_step())
         window: list[float] = []
         t0 = time.time()
         steps_per_update = ppo.num_steps * self.env.num_envs

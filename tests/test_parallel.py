@@ -128,3 +128,25 @@ def test_dp_matches_single_device_gradients(dp_setup):
         ),
         p1, p2,
     )
+
+
+def test_trainer_train_with_mesh(dp_setup, tmp_path):
+    """PPOTrainer.train(mesh=...) runs the sharded step end to end."""
+    import dataclasses
+
+    from soundspaces_tpu.train import PPOConfig, PPOTrainer, TrainerConfig
+
+    trainer, num_envs = dp_setup
+    mesh_trainer = PPOTrainer(
+        dataclasses.replace(
+            trainer.cfg, num_updates=2, log_interval=1,
+            checkpoint_folder=str(tmp_path),
+        ),
+        trainer.ppo,
+        trainer.env,
+        mesh=make_mesh(),
+    )
+    logs = []
+    mesh_trainer.train(jax.random.PRNGKey(9), num_updates=2,
+                       log_fn=lambda u, m: logs.append(m))
+    assert logs and np.isfinite(logs[-1]["reward"])
