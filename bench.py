@@ -225,37 +225,52 @@ def main():
         "vs_baseline": 0.0,
     }
     errors = []
-    for cfg in LADDER:
-        num_envs, sr, rir_len, nodes = cfg
-        arg = ",".join(str(x) for x in cfg)
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", arg],
-                capture_output=True,
-                text=True,
-                timeout=900,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
+    done = False
+    for round_idx in range(2):  # the tunnel recovers on ~minutes timescales
+        for cfg in LADDER:
+            num_envs, sr, rir_len, nodes = cfg
+            arg = ",".join(str(x) for x in cfg)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--single", arg],
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                tail = "\n".join(proc.stderr.strip().splitlines()[-3:])
+                line = (
+                    proc.stdout.strip().splitlines()[-1]
+                    if proc.stdout.strip()
+                    else ""
+                )
+                rate = json.loads(line)["rate"]
+            except Exception as e:
+                errors.append(f"{cfg}: {e!r}")
+                print(f"config {cfg} failed: {e!r}", file=sys.stderr)
+                try:
+                    print(f"child stderr tail:\n{tail}", file=sys.stderr)
+                except Exception:
+                    pass
+                continue
+            try:
+                baseline = bench_scipy_baseline(sr, rir_len)
+            except Exception:
+                baseline = None
+            result["metric"] = (
+                f"spectrogram obs/sec/chip (full env step, {num_envs}-env "
+                f"AudioGoal batch, {sr/1000:.1f} kHz, {rir_len/sr:.2f}s RIRs)"
             )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-            rate = json.loads(line)["rate"]
-        except Exception as e:
-            errors.append(f"{cfg}: {e!r}")
-            print(f"config {cfg} failed: {e!r}", file=sys.stderr)
-            continue
-        try:
-            baseline = bench_scipy_baseline(sr, rir_len)
-        except Exception:
-            baseline = None
-        result["metric"] = (
-            f"spectrogram obs/sec/chip (full env step, {num_envs}-env "
-            f"AudioGoal batch, {sr/1000:.1f} kHz, {rir_len/sr:.2f}s RIRs)"
-        )
-        result["value"] = round(rate, 1)
-        if baseline:
-            result["vs_baseline"] = round(rate / baseline, 1)
-        break
-    else:
-        result["error"] = "; ".join(errors)[:500]
+            result["value"] = round(rate, 1)
+            if baseline:
+                result["vs_baseline"] = round(rate / baseline, 1)
+            done = True
+            break
+        if done:
+            break
+        time.sleep(120)
+    if not done:
+        result["error"] = "; ".join(errors)[:400]
     print(json.dumps(result))
 
 

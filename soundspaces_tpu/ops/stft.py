@@ -92,7 +92,8 @@ def _block_reduce_mean(x: jax.Array, block: tuple[int, int]) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "block")
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "block", "use_pallas"),
 )
 def spectrogram(
     audio: jax.Array,
@@ -100,10 +101,33 @@ def spectrogram(
     hop_length: int = 160,
     win_length: int = 400,
     block: tuple[int, int] = (4, 4),
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Binaural audio [..., 2, n_samples] -> spectrogram
     [..., ceil(F/4), ceil(T/4), 2], matching the reference
-    SpectrogramSensor output bit-for-bit up to float32 rounding."""
+    SpectrogramSensor output bit-for-bit up to float32 rounding.
+
+    use_pallas pins the |.|->pool->log1p tail into one hand-fused VMEM
+    kernel (ops/pallas_kernels.py)."""
+    if use_pallas:
+        from soundspaces_tpu.ops.pallas_kernels import fused_magnitude_pool_log1p
+
+        batch_shape = audio.shape[:-1]
+        x = audio.reshape((-1, audio.shape[-1]))
+        pad = n_fft // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        kernel = _dft_conv_kernel(n_fft, win_length, str(x.dtype))
+        out = jax.lax.conv_general_dilated(
+            xp[:, :, None], kernel, window_strides=(hop_length,),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        nf = n_fft // 2 + 1
+        re = jnp.swapaxes(out[..., :nf], -1, -2)  # [B, F, T]
+        im = jnp.swapaxes(out[..., nf:], -1, -2)
+        red = fused_magnitude_pool_log1p(re, im, block)
+        red = red.reshape(batch_shape + red.shape[1:])
+        return jnp.moveaxis(red, -3, -1)
     mag = stft_magnitude(audio, n_fft, hop_length, win_length)
     red = _block_reduce_mean(mag, block)
     red = jnp.log1p(red)

@@ -50,3 +50,27 @@ def test_spectrogram_of_ones_matches_observation_space_probe():
     got = np.asarray(spectrogram(audio))
     want = refimpl.compute_spectrogram(audio.astype(np.float64))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_pallas_fused_tail_matches_reference(rng):
+    """The hand-fused pallas |.|->pool->log1p tail must equal the XLA path
+    (interpret mode on CPU; compiled on TPU)."""
+    import jax
+
+    audio = rng.standard_normal((3, 2, 16000)).astype(np.float32) * 0.1
+    want = np.asarray(spectrogram(audio))
+
+    from unittest import mock
+
+    from soundspaces_tpu.ops import pallas_kernels
+
+    orig = pallas_kernels.fused_magnitude_pool_log1p
+
+    def interp(re, im, block=(4, 4), interpret=False):
+        return orig(re, im, block, interpret=True)
+
+    with mock.patch.object(
+        pallas_kernels, "fused_magnitude_pool_log1p", interp
+    ):
+        got = np.asarray(spectrogram(audio, use_pallas=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
