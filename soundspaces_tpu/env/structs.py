@@ -80,8 +80,8 @@ class DeviceScene:
             oracle_next=jnp.asarray(g.oracle_action),
             rir=jnp.asarray(rir),
             goal_slot_of_node=jnp.asarray(ac.goal_slot_of_node),
-            seg_fft=jnp.asarray(ac.seg_fft),
-            seg_block_fft=jnp.asarray(ac.seg_block_fft),
+            seg_fft=_put_complex(ac.seg_fft),
+            seg_block_fft=_put_complex(ac.seg_block_fft),
             sounds=jnp.asarray(ac.sounds),
             sound_lengths_sec=jnp.asarray(ac.sound_lengths_sec),
             frames={k: jnp.asarray(v) for k, v in assets.frames.modalities.items()},
@@ -98,6 +98,18 @@ class DeviceScene:
         return jnp.where(
             hops >= UNREACHABLE, jnp.inf, hops.astype(jnp.float32) * self.grid_size
         )
+
+
+@jax.jit
+def _combine_complex(ri: jax.Array) -> jax.Array:
+    return jax.lax.complex(ri[..., 0], ri[..., 1])
+
+
+def _put_complex(arr: np.ndarray) -> jax.Array:
+    """Upload complex host data as stacked f32 and recombine on device —
+    the axon tunnel's transfer path rejects complex dtypes outright."""
+    ri = np.stack([arr.real, arr.imag], axis=-1).astype(np.float32)
+    return _combine_complex(jnp.asarray(ri))
 
 
 def _occupancy_grid(graph, resolution: float = 0.1):

@@ -237,6 +237,7 @@ class PPOTrainer:
         num_episodes: int | None = None,
         rng: jax.Array | None = None,
         max_steps: int | None = None,
+        video_dir: str | None = None,
     ) -> dict[str, float]:
         """Run `num_episodes` episodes on the eval env (sequential episode
         iteration) and average the end-of-episode measures — the
@@ -265,6 +266,9 @@ class PPOTrainer:
 
         totals: dict[str, float] = {}
         count = 0
+        video_frames: list = []
+        video_audio: list = []
+        videos_written = 0
         max_steps = max_steps or (
             env.config.max_episode_steps * (num_episodes // env.num_envs + 2)
         )
@@ -274,6 +278,24 @@ class PPOTrainer:
                 env.scene, env.episodes, params, state, obs, hidden, prev_done, key
             )
             prev_done = done
+            if video_dir is not None and "audiogoal" in obs:
+                # record env 0 (generate_video role, common/utils.py:279-318)
+                from soundspaces_tpu.utils.video import (
+                    images_to_video_with_audio,
+                    observations_to_image,
+                )
+
+                single = {k: np.asarray(v[0]) for k, v in obs.items()}
+                video_frames.append(observations_to_image(single))
+                video_audio.append(np.asarray(obs["audiogoal"][0]))
+                if bool(np.asarray(done)[0]) and video_frames:
+                    images_to_video_with_audio(
+                        video_frames, video_audio, video_dir,
+                        f"episode_{videos_written}", env.scene.sampling_rate,
+                        fps=1,
+                    )
+                    videos_written += 1
+                    video_frames, video_audio = [], []
             d = np.asarray(done)
             if d.any():
                 fetched = jax.device_get(info)

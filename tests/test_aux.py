@@ -126,3 +126,47 @@ def test_pretraining_pipeline():
     )
     assert res.history[-1]["ce"] < res.history[0]["ce"]
     assert np.isfinite(res.history[-1]["mse"])
+
+
+def test_phase_timers():
+    import time as _t
+
+    from soundspaces_tpu.utils.profiling import PhaseTimers, device_trace
+
+    pt = PhaseTimers()
+    with pt.phase("env"):
+        _t.sleep(0.01)
+    with pt.phase("model"):
+        _t.sleep(0.01)
+    s = pt.summary()
+    assert s["env"] > 0 and s["model"] > 0
+    with device_trace(None):
+        pass  # no-op path
+
+
+def test_evaluate_writes_videos(tmp_path):
+    from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+    from soundspaces_tpu.train import PPOConfig, PPOTrainer, TrainerConfig
+
+    assets = make_synthetic_assets(num_nodes_hint=20, sampling_rate=4000,
+                                   rir_max_len=600, image_size=16, seed=91)
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 16, seed=92)
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "audiogoal", "depth"),
+                  max_episode_steps=5, episode_sampling="sequential"),
+        scene, episodes, 2,
+    )
+    trainer = PPOTrainer(
+        TrainerConfig(num_envs=2),
+        PPOConfig(num_steps=2, hidden_size=16, ppo_epoch=1, num_mini_batch=1),
+        env,
+    )
+    params, _, _ = trainer.init_state(jax.random.PRNGKey(0))
+    stats = trainer.evaluate(params, num_episodes=2, max_steps=12,
+                             video_dir=str(tmp_path))
+    import os as _os
+
+    assert stats["episode_count"] >= 1
+    assert any(f.endswith(".avi") for f in _os.listdir(tmp_path))
+    assert any(f.endswith(".wav") for f in _os.listdir(tmp_path))

@@ -157,3 +157,31 @@ def test_avwan_masked_policy(wp_world):
         a = np.asarray(action)
         m = np.asarray(mask)
         assert all(m[i, a[i]] > 0 for i in range(2)), "sampled an unnavigable waypoint"
+
+
+def test_avwan_trainer_step(wp_world):
+    """End-to-end masked waypoint PPO update on the hierarchical env."""
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.avwan.trainer import AVWanTrainer
+    from soundspaces_tpu.train import PPOConfig
+
+    _, env = wp_world
+    trainer = AVWanTrainer(
+        env, PPOConfig(num_steps=3, hidden_size=32, ppo_epoch=1,
+                       num_mini_batch=1),
+    )
+    params, opt_state, carry = trainer.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(trainer.make_train_step())
+    p2, o2, carry2, metrics = step(
+        params, opt_state, carry, jax.random.PRNGKey(1), jnp.float32(0.1),
+        env.base.scene, env.base.episodes, env.tables(),
+    )
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    for k in ("action_loss", "value_loss", "entropy", "reward"):
+        assert np.isfinite(m[k]), (k, m)
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p2),
+    )
+    assert diff > 0
