@@ -30,8 +30,8 @@ import time
 
 import numpy as np
 
-SCAN_STEPS = 20
-TIMED_CALLS = 10
+SCAN_STEPS = 50  # long scans amortize the tunnel's per-dispatch RPC latency
+TIMED_CALLS = 4
 
 # (num_envs, sampling_rate, rir_len, num_nodes)
 LADDER = [
@@ -119,8 +119,12 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
         scene.sound_lengths_sec,
         jax.random.PRNGKey(7),
     )
+    from soundspaces_tpu.ops.partitioned import device_rir_partition_ffts
+
+    part_fft = device_rir_partition_ffts(rir, 8192)
     scene = scene.replace(
-        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=8192
+        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=8192,
+        rir_part_fft=part_fft,
     )
     env = AudioNavEnv(
         EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, num_envs

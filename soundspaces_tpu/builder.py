@@ -117,6 +117,28 @@ def build_env(
         import dataclasses
 
         env_cfg = dataclasses.replace(env_cfg, episode_sampling="sequential")
+    if getattr(cfg, "continuous", None) and cfg.continuous.enabled:
+        from soundspaces_tpu.env.continuous import (
+            ContinuousAudioNavEnv,
+            ContinuousConfig,
+        )
+
+        c = cfg.continuous
+        return ContinuousAudioNavEnv(
+            ContinuousConfig(
+                step_size=c.step_size,
+                turn_angle_deg=c.turn_angle_deg,
+                step_time=c.step_time,
+                use_crossfade=c.use_crossfade,
+                success_distance=c.success_distance,
+                max_episode_steps=env_cfg.max_episode_steps,
+                slack_reward=env_cfg.slack_reward,
+                success_reward=env_cfg.success_reward,
+                distance_reward_scale=env_cfg.distance_reward_scale,
+                sensors=tuple(env_cfg.sensors),
+            ),
+            scene, episodes, num_envs or cfg.trainer.num_envs,
+        )
     return AudioNavEnv(
         env_cfg, scene, episodes, num_envs or cfg.trainer.num_envs
     )

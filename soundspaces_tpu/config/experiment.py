@@ -55,10 +55,26 @@ class EvalConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ContinuousOverrides:
+    """CONTINUOUS=True knobs (the reference rewires sim type, step size and
+    crossfade, av_nav/config/default.py:216-227)."""
+
+    enabled: bool = False
+    step_size: float = 0.25
+    turn_angle_deg: float = 10.0
+    step_time: float = 0.25
+    use_crossfade: bool = True
+    success_distance: float = 0.36
+
+
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     trainer_name: str = "AVNavTrainer"
     env_name: str = "AudioNavEnv"
     model_dir: str = "data/models/run"
+    continuous: ContinuousOverrides = dataclasses.field(
+        default_factory=ContinuousOverrides
+    )
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
     env: EnvConfig = dataclasses.field(default_factory=EnvConfig)

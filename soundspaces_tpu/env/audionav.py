@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 
 from soundspaces_tpu.env.structs import DeviceScene, EnvConfig, EnvState, EpisodeBank
-from soundspaces_tpu.ops.partitioned import partitioned_windowed_convolve
+from soundspaces_tpu.ops.partitioned import (
+    partitioned_windowed_convolve,
+    partitioned_windowed_convolve_fft,
+)
 from soundspaces_tpu.ops.stft import spectrogram, spectrogram_shape
 from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
 
@@ -285,15 +288,21 @@ class AudioNavEnv:
         """Binaural waveform [2, sr]: gather the pose's RIR, convolve with the
         precomputed source-segment spectrum (simulator.py:608-647)."""
         az_idx = (4 - state.rot_idx) % 4  # azimuth = -rotation (simulator.py:573)
-        rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
-        if rir.dtype != jnp.float32:
-            rir = rir.astype(jnp.float32)  # bank may be stored bfloat16
         # partitioned overlap-save: small batched FFTs + MXU einsum (see
         # ops/partitioned.py; also the only FFT size the axon backend handles)
         seg_blocks = scene.seg_block_fft[state.sound_id, state.audio_index]
-        audio = partitioned_windowed_convolve(
-            seg_blocks, rir, scene.sampling_rate, scene.conv_block
-        )
+        if scene.rir_part_fft is not None:
+            h = scene.rir_part_fft[az_idx, state.node, state.goal_slot]
+            audio = partitioned_windowed_convolve_fft(
+                seg_blocks, h, scene.sampling_rate, scene.conv_block
+            )
+        else:
+            rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
+            if rir.dtype != jnp.float32:
+                rir = rir.astype(jnp.float32)  # bank may be stored bfloat16
+            audio = partitioned_windowed_convolve(
+                seg_blocks, rir, scene.sampling_rate, scene.conv_block
+            )
         if self.config.has_distractor_sound:
             # mix the distractor source convolved with its own pose RIR
             # (simulator.py:649-664)

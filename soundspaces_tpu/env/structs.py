@@ -60,6 +60,9 @@ class DeviceScene:
     frames: dict[str, jax.Array]  # name -> [N, 4, H, W, C]
     occupancy: jax.Array  # [Gz, Gx] f32 walkable grid at egomap_resolution
     node_grid_xz: jax.Array  # [N, 2] i32 occupancy-cell coords per node
+    # optional precomputed RIR partition spectra [4, N, G, 2, P, F] c64:
+    # trades 2x bank memory for removing all per-step forward FFTs
+    rir_part_fft: jax.Array | None = None
     grid_size: float = struct.field(pytree_node=False, default=0.5)
     sampling_rate: int = struct.field(pytree_node=False, default=16000)
     rir_max_len: int = struct.field(pytree_node=False, default=8000)
@@ -67,13 +70,25 @@ class DeviceScene:
     egomap_resolution: float = struct.field(pytree_node=False, default=0.1)
 
     @classmethod
-    def from_assets(cls, assets: SceneAssets, rir_dtype=None) -> "DeviceScene":
+    def from_assets(
+        cls, assets: SceneAssets, rir_dtype=None, precompute_rir_fft=False
+    ) -> "DeviceScene":
         """rir_dtype=jnp.bfloat16 halves the RIR bank's HBM footprint and
-        host->device transfer; the convolution upcasts per-gather."""
+        host->device transfer; the convolution upcasts per-gather.
+        precompute_rir_fft stores partition spectra (2x memory, no per-step
+        forward FFTs)."""
+        from soundspaces_tpu.ops.partitioned import precompute_rir_partition_ffts
+
         g, ac = assets.graph, assets.acoustics
         rir = ac.rir if rir_dtype is None else ac.rir.astype(rir_dtype)
         occupancy, node_xz = _occupancy_grid(g, resolution=0.1)
+        part_fft = None
+        if precompute_rir_fft:
+            part_fft = _put_complex(
+                precompute_rir_partition_ffts(ac.rir, ac.conv_block)
+            )
         return cls(
+            rir_part_fft=part_fft,
             points=jnp.asarray(g.points),
             forward_neighbor=jnp.asarray(g.forward_neighbor),
             geodesic_hops=jnp.asarray(g.geodesic_hops),

@@ -99,6 +99,19 @@ def precompute_rir_partition_ffts(
     return np.fft.rfft(parts, n=2 * b, axis=-1).astype(np.complex64)
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def device_rir_partition_ffts(rirs: jax.Array, block: int) -> jax.Array:
+    """On-device version of precompute_rir_partition_ffts (used when banks
+    are generated on device). rirs [..., C, L] -> [..., C, P, F]."""
+    b = block
+    p = num_partitions(rirs.shape[-1], b)
+    pad = p * b - rirs.shape[-1]
+    padded = jnp.pad(rirs, [(0, 0)] * (rirs.ndim - 1) + [(0, pad)])
+    flat = padded.reshape((-1, b))  # keep FFT inputs 2-D (layout discipline)
+    out = jnp.fft.rfft(flat, n=2 * b)
+    return out.reshape(rirs.shape[:-1] + (p, b + 1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("window_len", "rir_max_len", "block", "wrap")
 )
@@ -134,6 +147,32 @@ def segment_block_ffts_from_source(
         valid = (sample_idx >= 0) & (sample_idx < n)
         gathered = jnp.where(valid, source[jnp.clip(sample_idx, 0, n - 1)], 0.0)
     return jnp.fft.rfft(gathered, n=2 * b)
+
+
+@functools.partial(jax.jit, static_argnames=("window_len", "block"))
+def partitioned_windowed_convolve_fft(
+    seg_block_fft: jax.Array,  # [K, F] complex
+    rir_fft: jax.Array,  # [C, P, F] complex partition spectra
+    window_len: int,
+    block: int,
+) -> jax.Array:
+    """Like partitioned_windowed_convolve but with the RIR partition spectra
+    precomputed into the bank — removes C*P forward FFTs per observation
+    (the dominant per-step FFT cost at 44.1 kHz; the bank costs 2x the
+    time-domain storage)."""
+    b = block
+    k_total, f = seg_block_fft.shape
+    c, p, _ = rir_fft.shape
+    t_out = k_total - p + 1
+    acc = jnp.zeros((t_out * c, f), seg_block_fft.dtype)
+    for pi in range(p):
+        s = jax.lax.slice_in_dim(seg_block_fft, p - 1 - pi, p - 1 - pi + t_out)
+        acc = acc + (s[:, None, :] * rir_fft[None, :, pi, :]).reshape(
+            t_out * c, f
+        )
+    y = jnp.fft.irfft(acc, n=2 * b)[:, b:]
+    y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)
+    return y[:, :window_len]
 
 
 @functools.partial(jax.jit, static_argnames=("window_len", "block"))

@@ -46,12 +46,49 @@ def _dft_conv_kernel(n_fft: int, win_length: int, dtype_name: str) -> np.ndarray
     return kernel.astype(np.dtype(dtype_name))
 
 
+def _stft_re_im(
+    x: jax.Array,  # [B, n_samples]
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    precision,
+    via: str = "matmul",
+) -> jax.Array:
+    """Windowed DFT -> [B, n_frames, 2F]. `matmul` gathers explicit frames
+    and hits the MXU with one [B*T, n_fft] @ [n_fft, 2F] product; `conv`
+    expresses the same thing as a strided convolution."""
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    kernel = _dft_conv_kernel(n_fft, win_length, str(x.dtype))
+    if via == "conv":
+        return jax.lax.conv_general_dilated(
+            x[:, :, None],
+            kernel,
+            window_strides=(hop_length,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=precision,
+        )
+    b, n = x.shape
+    n_frames = 1 + (n - n_fft) // hop_length
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    )  # [T, n_fft]
+    frames = x[:, idx]  # [B, T, n_fft]
+    w = kernel[:, 0, :]  # [n_fft, 2F]
+    return jnp.einsum(
+        "btn,nf->btf", frames, w, precision=precision
+    )
+
+
 def stft_magnitude(
     signal: jax.Array,
     n_fft: int = 512,
     hop_length: int = 160,
     win_length: int = 400,
-    precision=jax.lax.Precision.HIGHEST,
+    # HIGH = 3-pass bfloat16 ~ f32 accuracy at twice the MXU rate of
+    # HIGHEST (6-pass); parity tests pass at float32 tolerance either way
+    precision=jax.lax.Precision.HIGH,
 ) -> jax.Array:
     """|STFT| with librosa semantics. signal: [..., n_samples] ->
     [..., 1 + n_fft//2, n_frames]."""
@@ -59,18 +96,7 @@ def stft_magnitude(
     n_samples = signal.shape[-1]
     x = signal.reshape((-1, n_samples))
 
-    pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-
-    kernel = _dft_conv_kernel(n_fft, win_length, str(x.dtype))
-    out = jax.lax.conv_general_dilated(
-        x[:, :, None],
-        kernel,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=precision,
-    )  # [B, n_frames, 2F]
+    out = _stft_re_im(x, n_fft, hop_length, win_length, precision)
     nf = n_fft // 2 + 1
     re, im = out[..., :nf], out[..., nf:]
     mag = jnp.sqrt(re * re + im * im)  # [B, n_frames, F]

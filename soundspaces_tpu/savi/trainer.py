@@ -114,6 +114,73 @@ class SAViTrainer:
             obs["location_belief"] = location_belief
         return obs
 
+    # ------------------------------------------------------------------ eval
+    def evaluate(
+        self,
+        params,
+        bparams=None,
+        num_episodes: int = 50,
+        rng=None,
+        max_steps: int | None = None,
+        deterministic: bool = False,
+    ) -> dict[str, float]:
+        """SAVi eval loop: fresh external memory, belief updates per step,
+        end-of-episode metric averaging (savi/ppo/ppo_trainer.py:760-1051)."""
+        import numpy as np
+
+        env = self.env
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, reset_key = jax.random.split(rng)
+        env_state, obs = env.reset(reset_key)
+        pstate = smt_initial_state(
+            env.num_envs, self.savi.memory_size, self.feature_dim
+        )
+        loc_belief = jnp.zeros((env.num_envs, 2))
+        prev_done = jnp.zeros(env.num_envs, bool)
+
+        @jax.jit
+        def eval_step(scene, episodes, params, bparams, env_state, obs,
+                      pstate, loc_belief, prev_done, key):
+            not_done = 1.0 - prev_done.astype(jnp.float32)
+            if self.savi.use_belief_predictor and bparams is not None:
+                loc_belief, _ = self.belief.predict(bparams, obs["spectrogram"])
+            obs_b = self._with_beliefs(bparams, obs, loc_belief)
+            action, _, _, pstate = self.policy.apply(
+                params, obs_b, pstate, not_done, key, deterministic,
+                method=self.policy.act,
+            )
+            env_state, obs, _, done, info = env.step_pure(
+                scene, episodes, env_state, action
+            )
+            return env_state, obs, pstate, loc_belief, done, info
+
+        totals: dict[str, float] = {}
+        count = 0
+        max_steps = max_steps or (
+            env.config.max_episode_steps * (num_episodes // env.num_envs + 2)
+        )
+        for _ in range(max_steps):
+            rng, key = jax.random.split(rng)
+            env_state, obs, pstate, loc_belief, done, info = eval_step(
+                env.scene, env.episodes, params, bparams, env_state, obs,
+                pstate, loc_belief, prev_done, key,
+            )
+            prev_done = done
+            d = np.asarray(done)
+            if d.any():
+                fetched = jax.device_get(info)
+                for i in np.nonzero(d)[0]:
+                    if count >= num_episodes:
+                        break
+                    count += 1
+                    for k, v in fetched.items():
+                        totals[k] = totals.get(k, 0.0) + float(v[i])
+            if count >= num_episodes:
+                break
+        return {k: v / max(count, 1) for k, v in totals.items()} | {
+            "episode_count": float(count)
+        }
+
     # ----------------------------------------------------------- train step
     def make_train_step(self, axis_name: str | None = None):
         ppo_cfg, savi = self.ppo, self.savi

@@ -122,3 +122,24 @@ def test_cli_train_smoke(tmp_path):
     ])
     stats = json.loads((model_dir / "val_stats.json").read_text())
     assert stats["episode_count"] == 4.0
+
+
+def test_continuous_mode_builder():
+    """continuous.enabled=true builds the SS2.0 continuous env (the
+    reference's CONTINUOUS=True rewiring, av_nav/config/default.py:216-227)."""
+    from soundspaces_tpu.builder import build_env
+    from soundspaces_tpu.config import get_config
+    from soundspaces_tpu.env.continuous import ContinuousAudioNavEnv
+
+    cfg = get_config(opts=[
+        "continuous.enabled=true",
+        "data.num_nodes_hint=20", "data.sampling_rate=4410",
+        "data.rir_max_len=800", "data.image_size=8", "data.num_episodes=16",
+        "env.sensors=[spectrogram]",
+    ])
+    env = build_env(cfg, num_envs=2)
+    assert isinstance(env, ContinuousAudioNavEnv)
+    import jax
+
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["spectrogram"].shape[0] == 2

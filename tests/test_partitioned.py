@@ -73,3 +73,30 @@ def test_rir_partition_fft_bank_shape(rng):
     rirs = rng.standard_normal((3, 2, 5000)).astype(np.float32)
     h = precompute_rir_partition_ffts(rirs, 2048)
     assert h.shape == (3, 2, 3, 2049) and h.dtype == np.complex64
+
+
+def test_fft_variant_matches_time_variant(rng):
+    """Precomputed-RIR-spectra convolution == time-domain-bank convolution."""
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.ops.partitioned import (
+        device_rir_partition_ffts,
+        partitioned_windowed_convolve_fft,
+    )
+
+    sr, rir_max = 4410, 4410
+    source = rng.standard_normal(2 * sr).astype(np.float32)
+    rir = rng.standard_normal((2, rir_max)).astype(np.float32) * 0.1
+    block = choose_block_size(rir_max)
+    seg = precompute_segment_block_ffts(source[None], np.array([2]), sr, rir_max, block)
+    time_out = np.asarray(
+        partitioned_windowed_convolve(seg[0, 1], jnp.asarray(rir), sr, block)
+    )
+    h_np = precompute_rir_partition_ffts(rir, block)
+    fft_out = np.asarray(
+        partitioned_windowed_convolve_fft(seg[0, 1], jnp.asarray(h_np), sr, block)
+    )
+    np.testing.assert_allclose(fft_out, time_out, rtol=1e-4, atol=1e-5)
+    # device-side partition FFTs match numpy's
+    h_dev = np.asarray(device_rir_partition_ffts(jnp.asarray(rir), block))
+    np.testing.assert_allclose(h_dev, h_np, rtol=1e-4, atol=1e-4)

@@ -77,3 +77,13 @@ def test_savi_two_steps_stable(savi_setup):
             jnp.float32(0.1), env.scene, env.episodes,
         )
     assert np.isfinite(float(metrics["action_loss"]))
+
+
+def test_savi_evaluate(savi_setup):
+    env, trainer = savi_setup
+    params, opt_state, bparams, bopt, carry = trainer.init_state(
+        jax.random.PRNGKey(5)
+    )
+    stats = trainer.evaluate(params, bparams, num_episodes=4, max_steps=120)
+    assert stats["episode_count"] == 4
+    assert 0.0 <= stats["success"] <= 1.0
