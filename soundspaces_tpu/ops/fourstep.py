@@ -1,0 +1,128 @@
+"""Four-step (Bailey) FFT as MXU matmuls.
+
+XLA's TPU FFT is the bottleneck of the audio hot path: the irfft stage of the
+partitioned convolution runs thousands of 16k-point transforms per env step
+and does not map onto the MXU. The four-step factorization N = n1*n2 turns
+one size-N FFT into n2 size-n1 DFTs + twiddles + n1 size-n2 DFTs — and for
+n1 = n2 = 128 each DFT batch IS a [.., 128] x [128, 128] matmul: pure MXU
+work. ~70x the FLOPs of Cooley-Tukey, ~orders more FLOP/s.
+
+The inverse-real transform additionally packs PAIRS of Hermitian spectra
+into one complex inverse FFT (z = ifft(A + iB) -> a = Re z, b = Im z),
+cancelling the 2x waste of running a complex transform for real output.
+
+Complex arrays are carried as (real, imag) float32 pairs so every product
+lowers to real matmuls (and the tunnel's complex-transfer bug is moot).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(n1: int, n2: int, inverse: bool):
+    """(F1 [n1, n1], F2 [n2, n2], twiddle [n1, n2]) as (re, im) numpy pairs."""
+    sign = 2.0 if inverse else -2.0
+    a1 = np.arange(n1)
+    a2 = np.arange(n2)
+    # sign carries the factor 2: exp(sign * i * pi * ak / n) = W_n^{±ak}
+    f1 = np.exp(sign * 1j * np.pi * np.outer(a1, a1) / n1)
+    f2 = np.exp(sign * 1j * np.pi * np.outer(a2, a2) / n2)
+    # twiddle W_N^{k1*b} with N = n1*n2
+    tw = np.exp(sign * 1j * np.pi * np.outer(a1, a2) / (n1 * n2))
+    as_pair = lambda m: (
+        np.ascontiguousarray(m.real.astype(np.float32)),
+        np.ascontiguousarray(m.imag.astype(np.float32)),
+    )
+    return as_pair(f1), as_pair(f2), as_pair(tw)
+
+
+def _cmatmul(ar, ai, br, bi, precision):
+    """(ar + i ai) @ (br + i bi) -> (re, im), 4 real matmuls on the MXU."""
+    dot = functools.partial(jnp.matmul, precision=precision)
+    return dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse", "precision"))
+def fft_fourstep(
+    xr: jax.Array,  # [B, N] real part
+    xi: jax.Array,  # [B, N] imag part
+    n1: int = 128,
+    n2: int = 128,
+    inverse: bool = False,
+    precision=jax.lax.Precision.HIGH,
+):
+    """Complex FFT/iFFT of size N = n1*n2 along the last axis.
+    Returns (re, im). The inverse includes the 1/N factor."""
+    b, n = xr.shape
+    assert n == n1 * n2
+    (f1r, f1i), (f2r, f2i), (twr, twi) = _dft_matrices(n1, n2, inverse)
+
+    # view as [B, n1, n2]: x[a, b] = x[a*n2 + b]
+    xr_ = xr.reshape(b, n1, n2)
+    xi_ = xi.reshape(b, n1, n2)
+
+    # step 1: DFT over the a-axis (size n1): contract with F1
+    # y[k1, b] = sum_a F1[k1, a] x[a, b]  -> einsum over axis 1
+    yr = jnp.einsum("ka,xab->xkb", f1r, xr_, precision=precision) - jnp.einsum(
+        "ka,xab->xkb", f1i, xi_, precision=precision
+    )
+    yi = jnp.einsum("ka,xab->xkb", f1r, xi_, precision=precision) + jnp.einsum(
+        "ka,xab->xkb", f1i, xr_, precision=precision
+    )
+
+    # step 2: twiddle W^{k1*b}
+    zr = yr * twr[None] - yi * twi[None]
+    zi = yr * twi[None] + yi * twr[None]
+
+    # step 3: DFT over the b-axis (size n2)
+    wr = jnp.einsum("xkb,bm->xkm", zr, f2r, precision=precision) - jnp.einsum(
+        "xkb,bm->xkm", zi, f2i, precision=precision
+    )
+    wi = jnp.einsum("xkb,bm->xkm", zr, f2i, precision=precision) + jnp.einsum(
+        "xkb,bm->xkm", zi, f2r, precision=precision
+    )
+
+    # step 4: output index X[k2*n1 + k1] = w[k1, k2] -> transpose
+    outr = jnp.swapaxes(wr, 1, 2).reshape(b, n)
+    outi = jnp.swapaxes(wi, 1, 2).reshape(b, n)
+    if inverse:
+        outr = outr / n
+        outi = outi / n
+    return outr, outi
+
+
+@functools.partial(jax.jit, static_argnames=("n", "precision"))
+def irfft_pairs_fourstep(
+    specr: jax.Array,  # [B, F] real part of rFFT half-spectra, F = n//2+1
+    speci: jax.Array,  # [B, F]
+    n: int,
+    precision=jax.lax.Precision.HIGH,
+):
+    """Batched inverse real FFT via Hermitian pair packing: consecutive rows
+    (2j, 2j+1) share one complex inverse transform. B must be even.
+    Returns [B, n] float32 == jnp.fft.irfft(spec, n)."""
+    b, f = specr.shape
+    assert b % 2 == 0 and f == n // 2 + 1
+    # rebuild full spectra: X[n-k] = conj(X[k])
+    tail_r = specr[:, 1:-1][:, ::-1]
+    tail_i = -speci[:, 1:-1][:, ::-1]
+    fullr = jnp.concatenate([specr, tail_r], axis=1)  # [B, n]
+    fulli = jnp.concatenate([speci, tail_i], axis=1)
+    # pack pairs: z = A + i B  (A = even rows, B = odd rows)
+    ar, ai = fullr[0::2], fulli[0::2]
+    br_, bi_ = fullr[1::2], fulli[1::2]
+    zr = ar - bi_
+    zi = ai + br_
+    n1 = 1 << ((n - 1).bit_length() + 1) // 2
+    n2 = n // n1
+    outr, outi = fft_fourstep(zr, zi, n1, n2, inverse=True,
+                              precision=precision)
+    # a = Re z, b = Im z  (exact because a and b are real signals)
+    out = jnp.stack([outr, outi], axis=1).reshape(b, n)
+    return out

@@ -149,17 +149,21 @@ def segment_block_ffts_from_source(
     return jnp.fft.rfft(gathered, n=2 * b)
 
 
-@functools.partial(jax.jit, static_argnames=("window_len", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("window_len", "block", "use_fourstep")
+)
 def partitioned_windowed_convolve_fft(
     seg_block_fft: jax.Array,  # [K, F] complex
     rir_fft: jax.Array,  # [C, P, F] complex partition spectra
     window_len: int,
     block: int,
+    use_fourstep: bool = True,
 ) -> jax.Array:
     """Like partitioned_windowed_convolve but with the RIR partition spectra
     precomputed into the bank — removes C*P forward FFTs per observation
     (the dominant per-step FFT cost at 44.1 kHz; the bank costs 2x the
-    time-domain storage)."""
+    time-domain storage). The inverse transform runs as four-step MXU
+    matmuls (ops/fourstep.py) instead of XLA's FFT when eligible."""
     b = block
     k_total, f = seg_block_fft.shape
     c, p, _ = rir_fft.shape
@@ -170,7 +174,12 @@ def partitioned_windowed_convolve_fft(
         acc = acc + (s[:, None, :] * rir_fft[None, :, pi, :]).reshape(
             t_out * c, f
         )
-    y = jnp.fft.irfft(acc, n=2 * b)[:, b:]
+    if use_fourstep and (t_out * c) % 2 == 0 and 2 * b >= 2048:
+        from soundspaces_tpu.ops.fourstep import irfft_pairs_fourstep
+
+        y = irfft_pairs_fourstep(acc.real, acc.imag, 2 * b)[:, b:]
+    else:
+        y = jnp.fft.irfft(acc, n=2 * b)[:, b:]
     y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)
     return y[:, :window_len]
 
