@@ -145,9 +145,24 @@ def build_env(
 
 
 def build_trainer(cfg: ExperimentConfig, mesh=None):
-    trainer_cls = registry.get_trainer(cfg.trainer_name)
     assets = build_assets(cfg)
     env = build_env(cfg, assets)
+    if cfg.trainer_name == "savi":
+        from soundspaces_tpu.savi.trainer import SAViConfig, SAViTrainer
+
+        return SAViTrainer(
+            env,
+            cfg.ppo,
+            SAViConfig(
+                memory_size=cfg.smt.memory_size,
+                hidden_size=cfg.smt.hidden_size,
+                nhead=cfg.smt.nhead,
+                use_belief_predictor=cfg.smt.use_belief_predictor,
+                online_belief_training=cfg.smt.online_belief_training,
+                belief_lr=cfg.smt.belief_lr,
+            ),
+        )
+    trainer_cls = registry.get_trainer(cfg.trainer_name)
     eval_env = build_env(
         cfg, assets, num_envs=cfg.trainer.num_envs, sequential=True
     )

@@ -68,6 +68,18 @@ class ContinuousOverrides:
 
 
 @dataclasses.dataclass(frozen=True)
+class SMTConfig:
+    """SAVi SMT + belief-predictor node (savi/config/default.py:26-318)."""
+
+    memory_size: int = 150
+    hidden_size: int = 256
+    nhead: int = 8
+    use_belief_predictor: bool = True
+    online_belief_training: bool = True
+    belief_lr: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     trainer_name: str = "AVNavTrainer"
     env_name: str = "AudioNavEnv"
@@ -75,6 +87,7 @@ class ExperimentConfig:
     continuous: ContinuousOverrides = dataclasses.field(
         default_factory=ContinuousOverrides
     )
+    smt: SMTConfig = dataclasses.field(default_factory=SMTConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
     env: EnvConfig = dataclasses.field(default_factory=EnvConfig)

@@ -62,22 +62,43 @@ def main(argv=None):
         with open(log_path, "a") as f:
             f.write(line + "\n")
 
+    is_savi = cfg.trainer_name == "savi"
     if args.run_type == "train":
-        resume = latest_checkpoint(cfg.trainer.checkpoint_folder)
-        trainer.train(
-            jax.random.PRNGKey(cfg.trainer.seed), log_fn=log_fn,
-            resume_from=resume,
-        )
+        if is_savi:
+            trainer.train(
+                jax.random.PRNGKey(cfg.trainer.seed),
+                num_updates=cfg.trainer.num_updates,
+                log_fn=log_fn,
+                checkpoint_folder=cfg.trainer.checkpoint_folder,
+                checkpoint_interval=cfg.trainer.checkpoint_interval,
+                log_interval=cfg.trainer.log_interval,
+            )
+        else:
+            resume = latest_checkpoint(cfg.trainer.checkpoint_folder)
+            trainer.train(
+                jax.random.PRNGKey(cfg.trainer.seed), log_fn=log_fn,
+                resume_from=resume,
+            )
     elif args.run_type == "eval":
         ckpt = args.eval_checkpoint or latest_checkpoint(
             cfg.trainer.checkpoint_folder
         )
-        params, opt_state, carry = trainer.init_state(
-            jax.random.PRNGKey(cfg.trainer.seed)
-        )
-        if ckpt:
-            params, _, _ = trainer.load_checkpoint(ckpt, params, opt_state)
-        stats = trainer.evaluate(params, num_episodes=cfg.eval.episode_count)
+        if is_savi:
+            params, opt_state, bparams, bopt, carry = trainer.init_state(
+                jax.random.PRNGKey(cfg.trainer.seed)
+            )
+            stats = trainer.evaluate(
+                params, bparams, num_episodes=cfg.eval.episode_count
+            )
+        else:
+            params, opt_state, carry = trainer.init_state(
+                jax.random.PRNGKey(cfg.trainer.seed)
+            )
+            if ckpt:
+                params, _, _ = trainer.load_checkpoint(ckpt, params, opt_state)
+            stats = trainer.evaluate(
+                params, num_episodes=cfg.eval.episode_count
+            )
         print(json.dumps(stats))
         with open(
             os.path.join(cfg.model_dir, f"{cfg.eval.split}_stats.json"), "w"

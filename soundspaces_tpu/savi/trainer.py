@@ -114,6 +114,76 @@ class SAViTrainer:
             obs["location_belief"] = location_belief
         return obs
 
+    # ------------------------------------------------------------------ train
+    def train(
+        self,
+        rng=None,
+        num_updates: int = 1000,
+        log_fn=None,
+        checkpoint_folder: str | None = None,
+        checkpoint_interval: int = 50,
+        log_interval: int = 10,
+        resume_from: str | None = None,
+    ):
+        """Host loop over the fused SAVi update (the savi PPOTrainer.train
+        surface, savi/ppo/ppo_trainer.py:176-340)."""
+        import time as _time
+
+        import numpy as np
+
+        from soundspaces_tpu.train import preemption
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        params, opt_state, bparams, bopt, carry = self.init_state(rng)
+        step_fn = jax.jit(self.make_train_step())
+        t0 = _time.time()
+        steps_per_update = self.ppo.num_steps * self.env.num_envs
+        for update in range(num_updates):
+            rng, key = jax.random.split(rng)
+            frac = 1.0 - update / max(num_updates, 1)
+            clip = self.ppo.clip_param * (
+                frac if self.ppo.use_linear_clip_decay else 1.0
+            )
+            params, opt_state, bparams, bopt, carry, metrics = step_fn(
+                params, opt_state, bparams, bopt, carry, key,
+                jnp.float32(clip), self.env.scene, self.env.episodes,
+            )
+            if log_fn and ((update + 1) % log_interval == 0
+                           or update == num_updates - 1):
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m["fps"] = steps_per_update * (update + 1) / (
+                    _time.time() - t0
+                )
+                log_fn(update, m)
+            if checkpoint_folder and (update + 1) % checkpoint_interval == 0:
+                self.save_checkpoint(
+                    checkpoint_folder, params, opt_state, bparams, update + 1
+                )
+            if preemption.EXIT_REQUESTED:
+                if checkpoint_folder:
+                    self.save_checkpoint(
+                        checkpoint_folder, params, opt_state, bparams,
+                        update + 1,
+                    )
+                break
+        return params, bparams
+
+    def save_checkpoint(self, folder, params, opt_state, bparams, update):
+        """ckpt dict includes the belief predictor like the reference's
+        {state_dict, belief_predictor} (savi/ppo/ppo_trainer.py:161-175)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(folder, f"ckpt.{update}"))
+        ocp.PyTreeCheckpointer().save(
+            path,
+            {"params": params, "opt_state": opt_state,
+             "belief_predictor": bparams, "update": update},
+            force=True,
+        )
+        return path
+
     # ------------------------------------------------------------------ eval
     def evaluate(
         self,
