@@ -109,6 +109,8 @@ class AudioNavEnv:
                 shapes[name] = (1,)
             elif name == "egomap":
                 shapes[name] = (31, 31, 2)
+            elif name == "proximity":
+                shapes[name] = (1,)
             else:
                 raise KeyError(f"unknown sensor {name!r}")
         return shapes
@@ -255,6 +257,10 @@ class AudioNavEnv:
                 )
             elif name == "egomap":
                 obs[name] = self._egomap(scene, state)
+            elif name == "proximity":
+                # distance to nearest obstacle, capped at 2 m
+                # (ProximitySensor, soundspaces/tasks/nav.py:777-820)
+                obs[name] = scene.proximity[state.node][None]
         return obs
 
     def _egomap(self, scene, state: EnvState, size: int = 31) -> jax.Array:

@@ -60,6 +60,7 @@ class DeviceScene:
     frames: dict[str, jax.Array]  # name -> [N, 4, H, W, C]
     occupancy: jax.Array  # [Gz, Gx] f32 walkable grid at egomap_resolution
     node_grid_xz: jax.Array  # [N, 2] i32 occupancy-cell coords per node
+    proximity: jax.Array  # [N] f32 distance to nearest obstacle (<= 2 m cap)
     # optional precomputed RIR partition spectra [4, N, G, 2, P, F] c64:
     # trades 2x bank memory for removing all per-step forward FFTs
     rir_part_fft: jax.Array | None = None
@@ -102,6 +103,9 @@ class DeviceScene:
             frames={k: jnp.asarray(v) for k, v in assets.frames.modalities.items()},
             occupancy=jnp.asarray(occupancy),
             node_grid_xz=jnp.asarray(node_xz),
+            proximity=jnp.asarray(
+                _node_proximity(occupancy, node_xz, resolution=0.1)
+            ),
             grid_size=float(g.grid_size),
             sampling_rate=int(ac.sampling_rate),
             rir_max_len=int(ac.rir_max_len),
@@ -113,6 +117,27 @@ class DeviceScene:
         return jnp.where(
             hops >= UNREACHABLE, jnp.inf, hops.astype(jnp.float32) * self.grid_size
         )
+
+
+def _node_proximity(
+    occ: np.ndarray, node_xz: np.ndarray, resolution: float, cap: float = 2.0
+) -> np.ndarray:
+    """Per-node distance to the nearest non-walkable cell, capped (the
+    ProximitySensor, soundspaces/tasks/nav.py:777-820)."""
+    r = int(round(cap / resolution))
+    dz, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    dist = np.hypot(dz, dx) * resolution
+    out = np.full(node_xz.shape[0], cap, np.float32)
+    h, w = occ.shape
+    for i, (gx, gz) in enumerate(node_xz):
+        z0, z1 = max(gz - r, 0), min(gz + r + 1, h)
+        x0, x1 = max(gx - r, 0), min(gx + r + 1, w)
+        window = occ[z0:z1, x0:x1]
+        d = dist[z0 - gz + r : z1 - gz + r, x0 - gx + r : x1 - gx + r]
+        blocked = window < 0.5
+        if blocked.any():
+            out[i] = min(float(d[blocked].min()), cap)
+    return out
 
 
 @jax.jit

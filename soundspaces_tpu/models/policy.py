@@ -41,9 +41,11 @@ class AudioNavBaselineNet(nn.Module):
 
         def encode(obs):
             feats = []
-            if self.use_audio:
+            if self.use_audio and self.audio_sensor in obs:
                 feats.append(AudioCNN(self.hidden_size, self.audio_sensor)(obs))
-            if self.use_visual:
+            # is_blind handling (av_nav/models/visual_cnn.py:88-90): skip the
+            # visual stack when the obs suite carries no visual modality
+            if self.use_visual and ("rgb" in obs or "depth" in obs):
                 if self.visual_encoder == "simple":
                     feats.append(VisualCNN(self.hidden_size)(obs))
                 else:

@@ -95,3 +95,35 @@ def test_resnet_policy_variant():
         params, obs, h, jnp.ones(2), jax.random.PRNGKey(1), method=policy.act
     )
     assert a.shape == (2,)
+
+
+def test_proximity_sensor(ego_env):
+    assets, env = ego_env
+    import dataclasses
+
+    from soundspaces_tpu.env import AudioNavEnv, EnvConfig
+
+    env2 = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "proximity")),
+        env.scene, env.episodes, 2,
+    )
+    state, obs = env2.reset(jax.random.PRNGKey(0))
+    p = np.asarray(obs["proximity"])
+    assert p.shape == (2, 1)
+    assert (p > 0).all() and (p <= 2.0).all()
+
+
+def test_blind_policy():
+    """Audio-only observation suites must work (is_blind)."""
+    from soundspaces_tpu.models import AudioNavBaselineNet, CategoricalPolicy
+
+    rng = np.random.default_rng(0)
+    obs = {"spectrogram": jnp.asarray(
+        rng.standard_normal((2, 65, 26, 2)), jnp.float32)}
+    policy = CategoricalPolicy(
+        net=AudioNavBaselineNet(hidden_size=32), num_actions=4)
+    h = jnp.zeros((2, 32))
+    params = policy.init(jax.random.PRNGKey(0), obs, h, jnp.ones(2))
+    a, *_ = policy.apply(params, obs, h, jnp.ones(2), jax.random.PRNGKey(1),
+                         method=policy.act)
+    assert a.shape == (2,)
