@@ -100,7 +100,7 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
         # f32 throughout: bfloat16 casts wedge the axon tunnel (2026-08-16)
         rir = jnp.stack(rirs, axis=0)
 
-        block = 8192
+        block = 16384
         def seg_for(sound, length, sec):
             return segment_block_ffts_from_source(
                 sound, sec * sr, sr, rl, block, length=length * sr, wrap=True
@@ -121,9 +121,9 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
     )
     from soundspaces_tpu.ops.partitioned import device_rir_partition_ffts
 
-    part_fft = device_rir_partition_ffts(rir, 8192)
+    part_fft = device_rir_partition_ffts(rir, 16384)
     scene = scene.replace(
-        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=8192,
+        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=16384,
         rir_part_fft=part_fft,
     )
     env = AudioNavEnv(

@@ -98,6 +98,38 @@ def fft_fourstep(
 
 
 @functools.partial(jax.jit, static_argnames=("n", "precision"))
+def rfft_fourstep(
+    x: jax.Array,  # [B, m] real, m <= n
+    n: int,
+    precision=jax.lax.Precision.HIGH,
+):
+    """Forward real FFT via the four-step complex transform: pairs of rows
+    pack into one complex FFT (B must be even). Returns (re, im) of shape
+    [B, n//2+1] == jnp.fft.rfft(x, n)."""
+    b, m = x.shape
+    assert b % 2 == 0
+    if m < n:
+        x = jnp.pad(x, ((0, 0), (0, n - m)))
+    # z = a + i b for row pairs; FFT(z)[k] splits by Hermitian symmetry:
+    # A[k] = (Z[k] + conj(Z[-k]))/2,  B[k] = (Z[k] - conj(Z[-k]))/(2i)
+    zr, zi = x[0::2], x[1::2]
+    n1 = 1 << (((n - 1).bit_length() + 1) // 2)
+    n2 = n // n1
+    fr, fi = fft_fourstep(zr, zi, n1, n2, inverse=False, precision=precision)
+    f = n // 2 + 1
+    idx = (-jnp.arange(f)) % n
+    zr_k, zi_k = fr[:, :f], fi[:, :f]
+    zr_nk, zi_nk = fr[:, idx], fi[:, idx]
+    ar = 0.5 * (zr_k + zr_nk)
+    ai = 0.5 * (zi_k - zi_nk)
+    br_ = 0.5 * (zi_k + zi_nk)
+    bi_ = -0.5 * (zr_k - zr_nk)
+    out_r = jnp.stack([ar, br_], axis=1).reshape(b, f)
+    out_i = jnp.stack([ai, bi_], axis=1).reshape(b, f)
+    return out_r, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("n", "precision"))
 def irfft_pairs_fourstep(
     specr: jax.Array,  # [B, F] real part of rFFT half-spectra, F = n//2+1
     speci: jax.Array,  # [B, F]

@@ -32,6 +32,21 @@ from soundspaces_tpu.ops.convolve import next_pow2
 MAX_FFT_SIZE = 32768  # axon TPU tunnel: FFTs above this hang/corrupt D2H
 
 
+def _rfft2d(x: jax.Array, n: int) -> jax.Array:
+    """rFFT along the last axis of a 2-D array. Above the tunnel-safe XLA
+    FFT size the transform runs as four-step MXU matmuls (ops/fourstep.py)
+    instead — enabling 32768-sample partition blocks (2B = 65536)."""
+    if n <= MAX_FFT_SIZE:
+        return jnp.fft.rfft(x, n=n)
+    from soundspaces_tpu.ops.fourstep import rfft_fourstep
+
+    b = x.shape[0]
+    if b % 2:
+        x = jnp.pad(x, ((0, 1), (0, 0)))
+    re, im = rfft_fourstep(x, n)
+    return jax.lax.complex(re, im)[:b]
+
+
 def choose_block_size(rir_max_len: int, max_fft: int = MAX_FFT_SIZE) -> int:
     """Partition block B: a power of two with 2B <= max_fft, sized so short
     RIRs use a single partition."""
@@ -108,7 +123,7 @@ def device_rir_partition_ffts(rirs: jax.Array, block: int) -> jax.Array:
     pad = p * b - rirs.shape[-1]
     padded = jnp.pad(rirs, [(0, 0)] * (rirs.ndim - 1) + [(0, pad)])
     flat = padded.reshape((-1, b))  # keep FFT inputs 2-D (layout discipline)
-    out = jnp.fft.rfft(flat, n=2 * b)
+    out = _rfft2d(flat, 2 * b)
     return out.reshape(rirs.shape[:-1] + (p, b + 1))
 
 
@@ -146,7 +161,7 @@ def segment_block_ffts_from_source(
     else:
         valid = (sample_idx >= 0) & (sample_idx < n)
         gathered = jnp.where(valid, source[jnp.clip(sample_idx, 0, n - 1)], 0.0)
-    return jnp.fft.rfft(gathered, n=2 * b)
+    return _rfft2d(gathered, 2 * b)
 
 
 @functools.partial(

@@ -69,6 +69,7 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
         oracle_next=stack(lambda s: s.oracle_next, fill=-1),
         rir=stack(lambda s: s.rir),
         goal_slot_of_node=stack(lambda s: s.goal_slot_of_node, fill=-1),
+        proximity=stack(lambda s: s.proximity),
         seg_fft=stack(lambda s: s.seg_fft),
         seg_block_fft=stack(lambda s: s.seg_block_fft),
         sounds=stack(lambda s: s.sounds),
