@@ -32,6 +32,9 @@ import numpy as np
 
 SCAN_STEPS = 50  # long scans amortize the tunnel's per-dispatch RPC latency
 TIMED_CALLS = 4
+# Partition block: 16384 measured fastest (32768 runs bigger four-step FFTs
+# than it saves in accumulate rounds); overridable for experiments.
+CONV_BLOCK = int(os.environ.get("SS_TPU_CONV_BLOCK", "16384"))
 
 # (num_envs, sampling_rate, rir_len, num_nodes)
 LADDER = [
@@ -100,7 +103,7 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
         # f32 throughout: bfloat16 casts wedge the axon tunnel (2026-08-16)
         rir = jnp.stack(rirs, axis=0)
 
-        block = 16384
+        block = CONV_BLOCK
         def seg_for(sound, length, sec):
             return segment_block_ffts_from_source(
                 sound, sec * sr, sr, rl, block, length=length * sr, wrap=True
@@ -121,9 +124,9 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
     )
     from soundspaces_tpu.ops.partitioned import device_rir_partition_ffts
 
-    part_fft = device_rir_partition_ffts(rir, 16384)
+    part_fft = device_rir_partition_ffts(rir, CONV_BLOCK)
     scene = scene.replace(
-        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=16384,
+        rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=CONV_BLOCK,
         rir_part_fft=part_fft,
     )
     env = AudioNavEnv(

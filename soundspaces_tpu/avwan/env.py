@@ -75,6 +75,12 @@ def build_waypoint_tables(
     for dz in range(-half, half + 1):
         for dx in range(-half, half + 1):
             occ[gz + half + dz, gx + half + dx] = 1.0
+    # small scenes: the egomap crop dynamic-slices an [e, e] window, so the
+    # grid must be at least egomap_size on each axis (pad = non-walkable)
+    e = mapper_cfg.egomap_size
+    pz, px = max(0, e - occ.shape[0]), max(0, e - occ.shape[1])
+    if pz or px:
+        occ = np.pad(occ, ((0, pz), (0, px)))
     return WaypointTables(
         node_at_cell=jnp.asarray(node_at),
         occupancy=jnp.asarray(occ),

@@ -4,7 +4,8 @@ Reference: ss_baselines/av_wan/ppo/ppo_trainer.py:42-751 — PPO where env
 steps take waypoint indices, the categorical head is masked by the action
 map, and an exponential-lr-decay option exists (av_wan/config/default.py:
 96-97). One jitted update: waypoint rollout scan -> GAE -> masked PPO
-epochs."""
+epochs. Inherits the train()/evaluate()/checkpoint surface from
+train/trainer.PPOTrainer (the BaseRLTrainer role)."""
 
 from __future__ import annotations
 
@@ -12,13 +13,20 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
 from soundspaces_tpu.avwan.env import WaypointNavEnv
 from soundspaces_tpu.avwan.policy import AVWanNet
 from soundspaces_tpu.models.policy import CategoricalPolicy
-from soundspaces_tpu.train.ppo import PPOConfig, compute_gae, normalize_advantages
+from soundspaces_tpu.train.ppo import (
+    PPOConfig,
+    compute_gae,
+    make_lr_schedule,
+    normalize_advantages,
+)
+from soundspaces_tpu.train.trainer import PPOTrainer, TrainerConfig
 
 
 @struct.dataclass
@@ -30,21 +38,35 @@ class WanCarry:
     rng: jax.Array
 
 
-class AVWanTrainer:
-    def __init__(self, env: WaypointNavEnv, ppo_cfg: PPOConfig,
-                 use_gm: bool = True, use_am: bool = True):
-        self.env = env
+class AVWanTrainer(PPOTrainer):
+    def __init__(
+        self,
+        trainer_cfg: TrainerConfig,
+        ppo_cfg: PPOConfig,
+        env: WaypointNavEnv,
+        eval_env: WaypointNavEnv | None = None,
+        mesh=None,
+        use_gm: bool = True,
+        use_am: bool = True,
+    ):
+        assert mesh is None, "AV-WaN scales via multiscene sharding (later)"
+        self.cfg = trainer_cfg
         self.ppo = ppo_cfg
+        self.env = env
+        self.eval_env = eval_env
+        self.mesh = None
         self.policy = CategoricalPolicy(
             net=AVWanNet(hidden_size=ppo_cfg.hidden_size, use_gm=use_gm,
                          use_am=use_am),
             num_actions=env.wp.num_waypoints,
         )
-        if ppo_cfg.use_linear_lr_decay:
-            sched = optax.linear_schedule(ppo_cfg.lr, 0.0, 10_000)
-        else:
-            sched = ppo_cfg.lr
-        self.optimizer = optax.adam(sched, eps=ppo_cfg.eps)
+        self.optimizer = optax.adam(
+            make_lr_schedule(ppo_cfg, trainer_cfg.num_updates),
+            eps=ppo_cfg.eps,
+        )
+
+    def _bank_args(self):
+        return (self.env.base.scene, self.env.base.episodes, self.env.tables())
 
     def init_state(self, rng):
         rng, env_key, p_key = jax.random.split(rng, 3)
@@ -148,3 +170,64 @@ class AVWanTrainer:
             return params, opt_state, carry2, metrics
 
         return step
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(
+        self,
+        params,
+        num_episodes: int | None = None,
+        rng: jax.Array | None = None,
+        max_steps: int | None = None,
+        video_dir: str | None = None,
+    ) -> dict[str, float]:
+        """Waypoint-policy eval: one policy step = one waypoint, the inner
+        planner loop runs inside env.step_pure (av_wan eval,
+        ppo_trainer.py:399+)."""
+        env = self.eval_env or self.env
+        num_episodes = num_episodes or self.cfg.test_episode_count
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        rng, reset_key = jax.random.split(rng)
+        state, obs = env.reset(reset_key)
+        hidden = jnp.zeros((env.num_envs, self.ppo.hidden_size), jnp.float32)
+        prev_done = jnp.zeros(env.num_envs, bool)
+
+        @jax.jit
+        def eval_step(scene, episodes, tables, params, state, obs, hidden,
+                      prev_done, key):
+            masks = 1.0 - prev_done.astype(jnp.float32)
+            amask = obs["action_map"].reshape(env.num_envs, -1)
+            action, _, _, hidden = self.policy.apply(
+                params, obs, hidden, masks, key,
+                self.cfg.deterministic_eval, amask, method=self.policy.act,
+            )
+            state, obs, _, done, info = env.step_pure(
+                scene, episodes, tables, state, action
+            )
+            return state, obs, hidden, done, info
+
+        totals: dict[str, float] = {}
+        count = 0
+        max_steps = max_steps or (
+            env.cfg.max_episode_steps * (num_episodes // env.num_envs + 2)
+        )
+        for _ in range(max_steps):
+            rng, key = jax.random.split(rng)
+            state, obs, hidden, done, info = eval_step(
+                env.base.scene, env.base.episodes, env.tables(), params,
+                state, obs, hidden, prev_done, key,
+            )
+            prev_done = done
+            d = np.asarray(done)
+            if d.any():
+                fetched = jax.device_get(info)
+                for i in np.nonzero(d)[0]:
+                    if count >= num_episodes:
+                        break
+                    count += 1
+                    for k, v in fetched.items():
+                        totals[k] = totals.get(k, 0.0) + float(v[i])
+            if count >= num_episodes:
+                break
+        return {k: v / max(count, 1) for k, v in totals.items()} | {
+            "episode_count": float(count)
+        }

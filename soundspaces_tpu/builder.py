@@ -144,8 +144,51 @@ def build_env(
     )
 
 
+def build_waypoint_env(
+    cfg: ExperimentConfig, assets: SceneAssets, num_envs: int | None = None,
+    sequential: bool = False,
+):
+    """AV-WaN hierarchical waypoint env over the same assets."""
+    import dataclasses as dc
+
+    from soundspaces_tpu.avwan.env import WaypointNavEnv, build_waypoint_tables
+    from soundspaces_tpu.avwan.env import WaypointConfig
+    from soundspaces_tpu.avwan.maps import MapperConfig
+
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(
+        assets, cfg.data.num_episodes, seed=cfg.data.seed + 1,
+        min_geodesic_hops=1,
+    )
+    env_cfg = cfg.env
+    if sequential:
+        env_cfg = dc.replace(env_cfg, episode_sampling="sequential")
+    mapper = MapperConfig(
+        action_map_size=cfg.avwan.action_map_size,
+        geometric_map_size=cfg.avwan.geometric_map_size,
+        acoustic_map_size=cfg.avwan.acoustic_map_size,
+    )
+    wp_cfg = WaypointConfig(
+        prediction_interval=cfg.avwan.prediction_interval, mapper=mapper
+    )
+    tables = build_waypoint_tables(assets.graph, mapper)
+    return WaypointNavEnv(
+        env_cfg, wp_cfg, scene, episodes, tables,
+        num_envs or cfg.trainer.num_envs,
+    )
+
+
 def build_trainer(cfg: ExperimentConfig, mesh=None):
     assets = build_assets(cfg)
+    if cfg.trainer_name in ("AVWanTrainer", "avwan"):
+        from soundspaces_tpu.avwan.trainer import AVWanTrainer
+
+        env = build_waypoint_env(cfg, assets)
+        eval_env = build_waypoint_env(cfg, assets, sequential=True)
+        return AVWanTrainer(
+            cfg.trainer, cfg.ppo, env, eval_env=eval_env,
+            use_gm=cfg.avwan.use_gm, use_am=cfg.avwan.use_am,
+        )
     env = build_env(cfg, assets)
     if cfg.trainer_name == "savi":
         from soundspaces_tpu.savi.trainer import SAViConfig, SAViTrainer

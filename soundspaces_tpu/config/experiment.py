@@ -68,6 +68,18 @@ class ContinuousOverrides:
 
 
 @dataclasses.dataclass(frozen=True)
+class AVWanConfig:
+    """AV-WaN waypoint node (av_wan/config/default.py:54,106-206)."""
+
+    prediction_interval: int = 10
+    use_gm: bool = True
+    use_am: bool = True
+    action_map_size: int = 9
+    geometric_map_size: int = 200
+    acoustic_map_size: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
 class SMTConfig:
     """SAVi SMT + belief-predictor node (savi/config/default.py:26-318)."""
 
@@ -88,6 +100,7 @@ class ExperimentConfig:
         default_factory=ContinuousOverrides
     )
     smt: SMTConfig = dataclasses.field(default_factory=SMTConfig)
+    avwan: AVWanConfig = dataclasses.field(default_factory=AVWanConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     ppo: PPOConfig = dataclasses.field(default_factory=PPOConfig)
     env: EnvConfig = dataclasses.field(default_factory=EnvConfig)

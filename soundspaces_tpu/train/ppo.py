@@ -47,8 +47,33 @@ class PPOConfig:
     use_gae: bool = True
     use_linear_lr_decay: bool = True
     use_linear_clip_decay: bool = True
+    # AV-WaN's alternative schedule: lr * exp(-lambda * update/num_updates)
+    # (av_wan/config/default.py:96-97; common/utils.py:103-114). Takes
+    # precedence over the linear decay when enabled.
+    use_exponential_lr_decay: bool = False
+    exp_decay_lambda: float = 1.0
     use_clipped_value_loss: bool = True
     reward_window_size: int = 50
+
+
+def make_lr_schedule(ppo: "PPOConfig", num_updates: int):
+    """Learning-rate schedule in optimizer-step counts (one PPO update =
+    ppo_epoch * num_mini_batch optimizer steps, mirroring the reference's
+    per-update LambdaLR stepping, av_wan/ppo/ppo_trainer.py:305-316)."""
+    steps_per_update = max(ppo.ppo_epoch * ppo.num_mini_batch, 1)
+    if ppo.use_exponential_lr_decay:
+        lam, total = ppo.exp_decay_lambda, float(max(num_updates, 1))
+
+        def schedule(count):
+            update = count // steps_per_update
+            return ppo.lr * jnp.exp(-lam * update / total)
+
+        return schedule
+    if ppo.use_linear_lr_decay:
+        return optax.linear_schedule(
+            ppo.lr, 0.0, num_updates * steps_per_update
+        )
+    return ppo.lr
 
 
 def compute_gae(

@@ -68,18 +68,18 @@ class PPOTrainer:
         )
         self.policy = CategoricalPolicy(net=net, num_actions=env.config.num_actions)
 
-        if ppo_cfg.use_linear_lr_decay:
-            schedule = optax.linear_schedule(
-                ppo_cfg.lr, 0.0,
-                trainer_cfg.num_updates
-                * ppo_cfg.ppo_epoch
-                * ppo_cfg.num_mini_batch,
-            )
-        else:
-            schedule = ppo_cfg.lr
-        self.optimizer = optax.adam(schedule, eps=ppo_cfg.eps)
+        from soundspaces_tpu.train.ppo import make_lr_schedule
+
+        self.optimizer = optax.adam(
+            make_lr_schedule(ppo_cfg, trainer_cfg.num_updates), eps=ppo_cfg.eps
+        )
 
         self._train_step = None  # built lazily (needs params structure)
+
+    def _bank_args(self) -> tuple:
+        """Static device banks appended to every train-step call (subclasses
+        with extra lookup tables override)."""
+        return (self.env.scene, self.env.episodes)
 
     # ------------------------------------------------------------------ setup
     def init_state(self, rng: jax.Array):
@@ -207,7 +207,7 @@ class PPOTrainer:
             clip = ppo.clip_param * (frac if ppo.use_linear_clip_decay else 1.0)
             params, opt_state, carry, metrics = step_fn(
                 params, opt_state, carry, key, jnp.float32(clip),
-                self.env.scene, self.env.episodes,
+                *self._bank_args(),
             )
             if (update + 1) % cfg.log_interval == 0 or update == num_updates - 1:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}

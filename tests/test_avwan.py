@@ -166,10 +166,13 @@ def test_avwan_trainer_step(wp_world):
     from soundspaces_tpu.avwan.trainer import AVWanTrainer
     from soundspaces_tpu.train import PPOConfig
 
+    from soundspaces_tpu.train import TrainerConfig
+
     _, env = wp_world
     trainer = AVWanTrainer(
-        env, PPOConfig(num_steps=3, hidden_size=32, ppo_epoch=1,
-                       num_mini_batch=1),
+        TrainerConfig(num_envs=2),
+        PPOConfig(num_steps=3, hidden_size=32, ppo_epoch=1, num_mini_batch=1),
+        env,
     )
     params, opt_state, carry = trainer.init_state(jax.random.PRNGKey(0))
     step = jax.jit(trainer.make_train_step())
@@ -185,3 +188,45 @@ def test_avwan_trainer_step(wp_world):
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p2),
     )
     assert diff > 0
+
+
+def test_avwan_trainer_full_loop(wp_world, tmp_path):
+    """AVWanTrainer.train(): the BaseRLTrainer surface — updates, logging,
+    checkpointing — then evaluate() over the waypoint env."""
+    from soundspaces_tpu.avwan.trainer import AVWanTrainer
+    from soundspaces_tpu.train import PPOConfig, TrainerConfig
+
+    _, env = wp_world
+    trainer = AVWanTrainer(
+        TrainerConfig(num_envs=2, num_updates=2, log_interval=1,
+                      checkpoint_interval=2,
+                      checkpoint_folder=str(tmp_path / "ckpts"),
+                      test_episode_count=2),
+        PPOConfig(num_steps=3, hidden_size=32, ppo_epoch=1, num_mini_batch=1),
+        env,
+    )
+    logs = []
+    params, opt_state, carry = trainer.train(
+        jax.random.PRNGKey(0), log_fn=lambda u, m: logs.append((u, m))
+    )
+    assert logs and np.isfinite(logs[-1][1]["reward"])
+    import os
+
+    assert any(f.startswith("ckpt.") for f in os.listdir(tmp_path / "ckpts"))
+    stats = trainer.evaluate(params, num_episodes=2, max_steps=40)
+    assert stats["episode_count"] >= 1
+
+
+def test_exponential_lr_schedule():
+    """lr(update) = lr0 * exp(-lambda*update/num_updates)
+    (common/utils.py:103-114)."""
+    from soundspaces_tpu.train.ppo import PPOConfig, make_lr_schedule
+
+    ppo = PPOConfig(lr=1e-3, use_exponential_lr_decay=True,
+                    exp_decay_lambda=2.0, ppo_epoch=4, num_mini_batch=2)
+    sched = make_lr_schedule(ppo, num_updates=100)
+    # optimizer-step count 8*u corresponds to update u
+    for u in (0, 10, 99):
+        want = 1e-3 * np.exp(-2.0 * u / 100.0)
+        got = float(sched(8 * u))
+        np.testing.assert_allclose(got, want, rtol=1e-6)

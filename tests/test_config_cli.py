@@ -143,3 +143,30 @@ def test_continuous_mode_builder():
 
     state, obs = env.reset(jax.random.PRNGKey(0))
     assert obs["spectrogram"].shape[0] == 2
+
+
+def test_cli_avwan_train_smoke(tmp_path):
+    """AVWanTrainer via the CLI: waypoint env built from config, trains and
+    checkpoints (ss_baselines/av_wan/run.py surface)."""
+    from soundspaces_tpu.run import main
+
+    exp = tmp_path / "avwan.yaml"
+    exp.write_text(
+        "trainer_name: AVWanTrainer\n"
+        "trainer:\n  num_updates: 1\n  num_envs: 2\n  log_interval: 1\n"
+        "  checkpoint_interval: 1\n"
+        "ppo:\n  num_steps: 2\n  hidden_size: 16\n  ppo_epoch: 1\n"
+        "  num_mini_batch: 1\n  use_exponential_lr_decay: true\n"
+        "avwan:\n  prediction_interval: 4\n"
+        "env:\n  max_episode_steps: 8\n"
+        "data:\n  num_nodes_hint: 20\n  sampling_rate: 4000\n"
+        "  rir_max_len: 600\n  image_size: 8\n  num_episodes: 16\n"
+    )
+    model_dir = tmp_path / "wan1"
+    main([
+        "--run-type", "train", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+    ])
+    lines = [json.loads(l) for l in (model_dir / "train.log").read_text().splitlines()]
+    assert lines and np.isfinite(lines[-1]["reward"])
+    assert any(c.startswith("ckpt.") for c in os.listdir(model_dir / "ckpts"))
