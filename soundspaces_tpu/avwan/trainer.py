@@ -68,6 +68,11 @@ class AVWanTrainer(PPOTrainer):
     def _bank_args(self):
         return (self.env.base.scene, self.env.base.episodes, self.env.tables())
 
+    def make_phase_steps(self):
+        raise NotImplementedError(
+            "AV-WaN rollouts are waypoint-masked; profile with the fused step"
+        )
+
     def init_state(self, rng):
         rng, env_key, p_key = jax.random.split(rng, 3)
         env_state, obs = self.env.reset(env_key)

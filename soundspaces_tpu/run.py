@@ -26,6 +26,18 @@ def main(argv=None):
     parser.add_argument("--exp-config", type=str, default=None)
     parser.add_argument("--model-dir", type=str, default=None)
     parser.add_argument("--eval-checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--poll", action="store_true",
+        help="eval mode: watch the checkpoint folder and evaluate each new "
+        "checkpoint (the reference's BaseRLTrainer.eval loop)",
+    )
+    parser.add_argument("--eval-interval", type=int, default=1)
+    parser.add_argument("--prev-ckpt-ind", type=int, default=-1)
+    parser.add_argument(
+        "--eval-best", action="store_true",
+        help="evaluate the checkpoint with the best logged val SPL "
+        "(av_wan/run.py:100-127)",
+    )
     parser.add_argument("--force-cpu", action="store_true")
     parser.add_argument(
         "opts", nargs=argparse.REMAINDER,
@@ -80,9 +92,22 @@ def main(argv=None):
                 resume_from=resume,
             )
     elif args.run_type == "eval":
-        ckpt = args.eval_checkpoint or latest_checkpoint(
-            cfg.trainer.checkpoint_folder
-        )
+        if args.poll and not is_savi:
+            results = trainer.eval(
+                eval_interval=args.eval_interval,
+                prev_ckpt_ind=args.prev_ckpt_ind,
+                num_episodes=cfg.eval.episode_count,
+                log_fn=lambda c, s: print(json.dumps({"checkpoint": c, **s})),
+                model_dir=cfg.model_dir,
+            )
+            return
+        ckpt = args.eval_checkpoint
+        if ckpt is None and args.eval_best:
+            from soundspaces_tpu.eval.selection import find_best_checkpoint
+
+            ckpt = find_best_checkpoint(cfg.model_dir)
+        if ckpt is None:
+            ckpt = latest_checkpoint(cfg.trainer.checkpoint_folder)
         if is_savi:
             params, opt_state, bparams, bopt, carry = trainer.init_state(
                 jax.random.PRNGKey(cfg.trainer.seed)

@@ -152,6 +152,36 @@ class PPOTrainer:
 
         return step
 
+    def make_phase_steps(self):
+        """Rollout and update as SEPARATE jitted programs, so wall-clock
+        splits into the reference's env_time/pth_time ledger
+        (av_nav/ppo/ppo_trainer.py:126-155). Slightly slower than the fused
+        step (extra dispatch + rollout materialization) — profiling only."""
+
+        def rollout_fn(params, carry, scene, episodes):
+            return collect_rollout(
+                self._policy_act, params, self.env, scene, episodes, carry,
+                self.ppo.num_steps,
+            )
+
+        def update_fn(params, opt_state, rollout, rng, clip):
+            params, opt_state, losses = ppo_update(
+                params, opt_state, self.optimizer, self._policy_evaluate,
+                rollout, rng, self.ppo, clip,
+            )
+            done_f = rollout.dones.astype(jnp.float32)
+            n_done = jnp.maximum(done_f.sum(), 1.0)
+            metrics = {
+                "reward": rollout.rewards.sum(0).mean(),
+                "episodes": done_f.sum(),
+                **{k: (v * done_f).sum() / n_done
+                   for k, v in rollout.infos.items()},
+                **losses,
+            }
+            return params, opt_state, metrics
+
+        return jax.jit(rollout_fn), jax.jit(update_fn)
+
     # ------------------------------------------------------------------ train
     def train(
         self,
@@ -159,6 +189,7 @@ class PPOTrainer:
         num_updates: int | None = None,
         log_fn: Callable[[int, dict], None] | None = None,
         resume_from: str | None = None,
+        profile: bool = False,
     ):
         cfg, ppo = self.cfg, self.ppo
         num_updates = num_updates or cfg.num_updates
@@ -198,6 +229,13 @@ class PPOTrainer:
             )
         else:
             step_fn = jax.jit(self.make_train_step())
+        timers = None
+        if profile:
+            from soundspaces_tpu.utils.profiling import PhaseTimers
+
+            assert self.mesh is None, "profile mode is single-program"
+            rollout_fn, update_fn = self.make_phase_steps()
+            timers = PhaseTimers()
         window: list[float] = []
         t0 = time.time()
         steps_per_update = ppo.num_steps * self.env.num_envs
@@ -205,12 +243,27 @@ class PPOTrainer:
             rng, key = jax.random.split(rng)
             frac = 1.0 - update / cfg.num_updates
             clip = ppo.clip_param * (frac if ppo.use_linear_clip_decay else 1.0)
-            params, opt_state, carry, metrics = step_fn(
-                params, opt_state, carry, key, jnp.float32(clip),
-                *self._bank_args(),
-            )
+            if profile:
+                # env_time ~= rollout phase (sim + act fused on device);
+                # pth_time ~= PPO update phase
+                with timers.phase("env_time"):
+                    carry, rollout = jax.block_until_ready(
+                        rollout_fn(params, carry, *self._bank_args())
+                    )
+                with timers.phase("pth_time"):
+                    params, opt_state, metrics = jax.block_until_ready(
+                        update_fn(params, opt_state, rollout, key,
+                                  jnp.float32(clip))
+                    )
+            else:
+                params, opt_state, carry, metrics = step_fn(
+                    params, opt_state, carry, key, jnp.float32(clip),
+                    *self._bank_args(),
+                )
             if (update + 1) % cfg.log_interval == 0 or update == num_updates - 1:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                if timers is not None:
+                    m.update(timers.summary())
                 window.append(m["reward"])
                 window = window[-ppo.reward_window_size :]
                 m["reward_window"] = float(np.mean(window))
@@ -229,6 +282,64 @@ class PPOTrainer:
                     preemption.requeue_job()
                 break
         return params, opt_state, carry
+
+    # -------------------------------------------------------------- eval loop
+    def eval(
+        self,
+        eval_interval: int = 1,
+        prev_ckpt_ind: int = -1,
+        use_last_ckpt: bool = False,
+        num_episodes: int | None = None,
+        log_fn: Callable[[str, dict], None] | None = None,
+        poll_interval_s: float = 2.0,
+        max_wait_s: float = 30.0,
+        model_dir: str | None = None,
+    ) -> list[tuple[str, dict]]:
+        """Checkpoint-folder polling eval (BaseRLTrainer.eval,
+        ss_baselines/common/base_trainer.py:68-122): watch the checkpoint
+        folder, evaluate every `eval_interval`-th new checkpoint, log each
+        result. Unlike the reference's infinite 2 s poll, gives up after
+        `max_wait_s` without a new checkpoint so jobs terminate."""
+        from soundspaces_tpu.eval.selection import log_eval_result
+
+        results: list[tuple[str, dict]] = []
+        if use_last_ckpt:
+            last = latest_checkpoint(self.cfg.checkpoint_folder)
+            queue = [last] if last else []
+        else:
+            queue = None  # poll mode
+        waited = 0.0
+        while True:
+            if queue is not None:
+                if not queue:
+                    break
+                ckpt = queue.pop(0)
+            else:
+                ckpt = poll_checkpoint_folder(
+                    self.cfg.checkpoint_folder, prev_ckpt_ind
+                )
+                if ckpt is None:
+                    if waited >= max_wait_s:
+                        break
+                    time.sleep(poll_interval_s)
+                    waited += poll_interval_s
+                    continue
+                waited = 0.0
+                prev_ckpt_ind += 1
+                if prev_ckpt_ind % eval_interval != 0:
+                    continue
+            params, opt_state, _ = self.init_state(
+                jax.random.PRNGKey(self.cfg.seed)
+            )
+            params, _, update = self.load_checkpoint(ckpt, params, opt_state)
+            stats = self.evaluate(params, num_episodes=num_episodes)
+            stats["update"] = float(update)
+            if model_dir:
+                log_eval_result(model_dir, ckpt, stats)
+            if log_fn:
+                log_fn(ckpt, stats)
+            results.append((ckpt, stats))
+        return results
 
     # ------------------------------------------------------------------- eval
     def evaluate(
@@ -340,12 +451,23 @@ class PPOTrainer:
 
 
 def latest_checkpoint(folder: str) -> str | None:
-    """Newest ckpt.{i} in a folder (poll_checkpoint_folder,
-    ss_baselines/common/utils.py:156-181)."""
+    """Newest ckpt.{i} in a folder."""
+    cands = _list_checkpoints(folder)
+    return cands[-1] if cands else None
+
+
+def _list_checkpoints(folder: str) -> list[str]:
     if not os.path.isdir(folder):
-        return None
+        return []
     cands = [f for f in os.listdir(folder) if f.startswith("ckpt.")]
-    if not cands:
-        return None
     cands.sort(key=lambda f: int(f.split(".")[1]))
-    return os.path.join(folder, cands[-1])
+    return [os.path.join(folder, f) for f in cands]
+
+
+def poll_checkpoint_folder(folder: str, previous_index: int) -> str | None:
+    """The (previous_index+1)-th checkpoint in training order, or None if it
+    hasn't appeared yet (ss_baselines/common/utils.py:156-181; ordering by
+    update index rather than mtime — orbax writes are multi-file)."""
+    cands = _list_checkpoints(folder)
+    ind = previous_index + 1
+    return cands[ind] if ind < len(cands) else None

@@ -149,3 +149,48 @@ def test_checkpoint_roundtrip(small_world, tmp_path):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         params, p2,
     )
+
+
+def test_polling_eval_loop(small_world, tmp_path):
+    """BaseRLTrainer.eval equivalent: new checkpoints in the folder get
+    evaluated in training order (base_trainer.py:108-122)."""
+    from soundspaces_tpu.train.trainer import poll_checkpoint_folder
+
+    env = small_world
+    tr = make_trainer(env, checkpoint_interval=100)
+    object.__setattr__(tr.cfg, "checkpoint_folder", str(tmp_path))
+    object.__setattr__(tr.cfg, "test_episode_count", 2)
+    params, opt_state, _ = tr.init_state(jax.random.PRNGKey(5))
+    tr.save_checkpoint(params, opt_state, update=1)
+    tr.save_checkpoint(params, opt_state, update=2)
+
+    assert poll_checkpoint_folder(str(tmp_path), -1).endswith("ckpt.1")
+    assert poll_checkpoint_folder(str(tmp_path), 0).endswith("ckpt.2")
+    assert poll_checkpoint_folder(str(tmp_path), 1) is None
+
+    evaluated = []
+    results = tr.eval(
+        num_episodes=2, max_wait_s=0.0,
+        log_fn=lambda c, s: evaluated.append(c),
+        model_dir=str(tmp_path),
+    )
+    assert [c.split(".")[-1] for c in evaluated] == ["1", "2"]
+    assert all(s["episode_count"] >= 1 for _, s in results)
+    # eval results were logged for best-ckpt selection
+    import os
+
+    assert os.path.exists(tmp_path / "eval_log.jsonl")
+
+
+def test_profile_mode_phase_timers(small_world):
+    """profile=True splits wall-clock into env_time (rollout program) and
+    pth_time (update program), the reference's ledger
+    (av_nav/ppo/ppo_trainer.py:126-155)."""
+    env = small_world
+    tr = make_trainer(env)
+    logs = []
+    tr.train(jax.random.PRNGKey(6), num_updates=2, profile=True,
+             log_fn=lambda u, m: logs.append(m))
+    m = logs[-1]
+    assert m["env_time"] > 0 and m["pth_time"] > 0
+    assert np.isfinite(m["reward"])
