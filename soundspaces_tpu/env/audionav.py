@@ -111,6 +111,11 @@ class AudioNavEnv:
                 shapes[name] = (31, 31, 2)
             elif name == "proximity":
                 shapes[name] = (1,)
+            elif name == "mpcat40_index":
+                shapes[name] = (1,)
+            elif name == "semantic_object":
+                h, w = self.scene.frames["semantic"].shape[2:4]
+                shapes[name] = (h, w, 3) if self.config.semantic_to_rgb else (h, w)
             else:
                 raise KeyError(f"unknown sensor {name!r}")
         return shapes
@@ -261,7 +266,27 @@ class AudioNavEnv:
                 # distance to nearest obstacle, capped at 2 m
                 # (ProximitySensor, soundspaces/tasks/nav.py:777-820)
                 obs[name] = scene.proximity[state.node][None]
+            elif name == "mpcat40_index":
+                # mpcat40 id of the episode's goal category
+                # (MPCAT40Index, soundspaces/tasks/nav.py:514-567)
+                table = jnp.asarray(_task_to_mpcat_table())
+                obs[name] = table[state.category][None]
+            elif name == "semantic_object":
+                obs[name] = self._semantic_object(scene, state)
         return obs
+
+    def _semantic_object(self, scene, state: EnvState) -> jax.Array:
+        """Per-pixel task-category image: instance ids -> mpcat40 ->
+        task id (+ optional palette colorization) — SemanticObjectSensor
+        (soundspaces/tasks/nav.py:569-697)."""
+        inst = scene.frames["semantic"][state.node, state.rot_idx, ..., 0]
+        n_inst = scene.instance_to_mpcat.shape[0]
+        inst = jnp.where(inst >= n_inst, 0, inst)  # invalid ids -> void
+        mpcat = scene.instance_to_mpcat[inst]
+        task = jnp.asarray(_mpcat_to_task_table())[mpcat]
+        if self.config.semantic_to_rgb:
+            return jnp.asarray(_semantic_palette_table())[task]
+        return task
 
     def _egomap(self, scene, state: EnvState, size: int = 31) -> jax.Array:
         """Egocentric occupancy/explored map [size, size, 2] at 0.1 m,
@@ -368,3 +393,27 @@ class AudioNavEnv:
         act = jnp.where(delta == 0, MOVE_FORWARD, turn)
         act = jnp.where(at_goal | ~has_dir | (nxt < 0), STOP, act)
         return act
+
+
+# ------------------------------------------------------------ class tables
+# cached as NUMPY (becoming jit constants per trace); caching jnp arrays
+# created under a trace would leak tracers
+@functools.lru_cache(maxsize=1)
+def _task_to_mpcat_table():
+    from soundspaces_tpu.scene.mp3d import TASK_ID_TO_MPCAT40
+
+    return TASK_ID_TO_MPCAT40
+
+
+@functools.lru_cache(maxsize=1)
+def _mpcat_to_task_table():
+    from soundspaces_tpu.scene.mp3d import mpcat40_to_task_id_table
+
+    return mpcat40_to_task_id_table()
+
+
+@functools.lru_cache(maxsize=1)
+def _semantic_palette_table():
+    from soundspaces_tpu.scene.mp3d import semantic_palette
+
+    return semantic_palette()

@@ -35,6 +35,8 @@ class EnvConfig:
     # observation suite
     sensors: tuple[str, ...] = ("spectrogram", "depth")
     num_categories: int = 21
+    # SemanticObjectSensor CONVERT_TO_RGB (soundspaces/tasks/nav.py:655-661)
+    semantic_to_rgb: bool = False
     # episode scheduling: "random" (training) or "sequential" (eval sweeps)
     episode_sampling: str = "random"
 
@@ -64,6 +66,8 @@ class DeviceScene:
     # optional precomputed RIR partition spectra [4, N, G, 2, P, F] c64:
     # trades 2x bank memory for removing all per-step forward FFTs
     rir_part_fft: jax.Array | None = None
+    # [max_instances] instance id -> mpcat40 id (SemanticObjectSensor)
+    instance_to_mpcat: jax.Array | None = None
     grid_size: float = struct.field(pytree_node=False, default=0.5)
     sampling_rate: int = struct.field(pytree_node=False, default=16000)
     rir_max_len: int = struct.field(pytree_node=False, default=8000)
@@ -90,6 +94,11 @@ class DeviceScene:
             )
         return cls(
             rir_part_fft=part_fft,
+            instance_to_mpcat=(
+                None
+                if assets.instance_to_mpcat is None
+                else jnp.asarray(assets.instance_to_mpcat)
+            ),
             points=jnp.asarray(g.points),
             forward_neighbor=jnp.asarray(g.forward_neighbor),
             geodesic_hops=jnp.asarray(g.geodesic_hops),

@@ -173,3 +173,6 @@ class SceneAssets:
     acoustics: AcousticBank
     frames: FrameBank
     node_category: np.ndarray | None = None  # [N] int32 object category (semantic)
+    # [max_instances] instance id -> mpcat40 id (the .house-derived mapping
+    # of SemanticObjectSensor, soundspaces/tasks/nav.py:675-681)
+    instance_to_mpcat: np.ndarray | None = None

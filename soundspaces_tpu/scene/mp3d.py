@@ -24,6 +24,55 @@ CATEGORY_INDEX_MAPPING = {
     )
 }
 
+# task category -> mpcat40 id (the MPCAT40Index / SemanticObjectSensor
+# mapping, soundspaces/tasks/nav.py:539-560,614-637)
+CATEGORY_TO_MPCAT40 = {
+    "chair": 3, "table": 5, "picture": 6, "cabinet": 7, "cushion": 8,
+    "sofa": 10, "bed": 11, "chest_of_drawers": 13, "plant": 14, "sink": 15,
+    "toilet": 18, "stool": 19, "towel": 20, "tv_monitor": 22, "shower": 23,
+    "bathtub": 25, "counter": 26, "fireplace": 27, "gym_equipment": 33,
+    "seating": 34, "clothes": 38,
+}
+
+# [21] task id -> mpcat40 id, ordered by CATEGORY_INDEX_MAPPING
+TASK_ID_TO_MPCAT40 = np.array(
+    [CATEGORY_TO_MPCAT40[name] for name in CATEGORY_INDEX_MAPPING],
+    np.int32,
+)
+
+NUM_TASK_CATEGORIES = len(CATEGORY_INDEX_MAPPING)
+
+
+def mpcat40_to_task_id_table(size: int = 200) -> np.ndarray:
+    """[size] mpcat40 id -> task id; unknown classes map to the extra
+    category NUM_TASK_CATEGORIES (nav.py:641-651)."""
+    table = np.full(size, NUM_TASK_CATEGORIES, np.int64)
+    for name, task_id in CATEGORY_INDEX_MAPPING.items():
+        table[CATEGORY_TO_MPCAT40[name]] = task_id
+    return table.astype(np.int32)
+
+
+def semantic_palette(num: int = NUM_TASK_CATEGORIES + 1) -> np.ndarray:
+    """[num, 3] uint8 distinct colors for task-id maps (the reference
+    colorizes with d3 40-colors, nav.py:696; any fixed palette serves)."""
+    hues = (np.arange(num) * 0.61803398875) % 1.0  # golden-ratio spacing
+    h6 = hues * 6.0
+    x = 1.0 - np.abs(h6 % 2 - 1.0)
+    zeros = np.zeros_like(x)
+    sector = h6.astype(np.int64) % 6
+    rgb_by_sector = np.stack([
+        np.stack([np.ones_like(x), x, zeros], -1),
+        np.stack([x, np.ones_like(x), zeros], -1),
+        np.stack([zeros, np.ones_like(x), x], -1),
+        np.stack([zeros, x, np.ones_like(x)], -1),
+        np.stack([x, zeros, np.ones_like(x)], -1),
+        np.stack([np.ones_like(x), zeros, x], -1),
+    ])
+    rgb = rgb_by_sector[sector, np.arange(num)]
+    rgb = 0.25 + 0.75 * rgb  # keep colors bright
+    return (rgb * 255).astype(np.uint8)
+
+
 SCENE_SPLITS: dict[str, list[str]] = {
     # populated from the dataset release; kept as an explicit table so code
     # paths (dataset discovery, eval sweeps) are exercised without assets

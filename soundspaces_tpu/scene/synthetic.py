@@ -113,6 +113,22 @@ def synth_frames(
     )
     out = {}
     for name in modalities:
+        if name == "semantic":
+            # instance-id frames: background instance 0 plus a few object
+            # rectangles per (node, view) — the habitat-sim semantic
+            # raster's shape (uint32 instance ids per pixel)
+            arr = np.zeros((n, 4, height, width, 1), np.int32)
+            for node in range(n):
+                for view in range(4):
+                    for _ in range(int(rng.integers(1, 4))):
+                        inst = int(rng.integers(1, NUM_SYNTH_INSTANCES))
+                        h0 = int(rng.integers(0, max(height - 2, 1)))
+                        w0 = int(rng.integers(0, max(width - 2, 1)))
+                        h1 = h0 + int(rng.integers(2, max(height // 2, 3)))
+                        w1 = w0 + int(rng.integers(2, max(width // 2, 3)))
+                        arr[node, view, h0:h1, w0:w1, 0] = inst
+            out[name] = arr
+            continue
         c = 3 if name == "rgb" else 1
         arr = np.zeros((n, 4, height, width, c), np.float32)
         phase = rng.uniform(0, 2 * np.pi, size=(n, 4, c)).astype(np.float32)
@@ -126,6 +142,20 @@ def synth_frames(
             arr = (arr * 255).astype(np.uint8)
         out[name] = arr
     return FrameBank(out)
+
+
+NUM_SYNTH_INSTANCES = 16
+
+
+def synth_instance_to_mpcat(seed: int = 0) -> np.ndarray:
+    """[NUM_SYNTH_INSTANCES] instance id -> mpcat40 id; instance 0 (the
+    backdrop) maps to 0 (void, i.e. 'unknown' after task remap)."""
+    from soundspaces_tpu.scene.mp3d import TASK_ID_TO_MPCAT40
+
+    rng = np.random.default_rng(seed + 97)
+    table = rng.choice(TASK_ID_TO_MPCAT40, size=NUM_SYNTH_INSTANCES)
+    table[0] = 0
+    return table.astype(np.int32)
 
 
 def make_synthetic_assets(
@@ -165,4 +195,10 @@ def make_synthetic_assets(
         graph, rirs, goal_nodes, sounds, lengths, sampling_rate
     )
     frames = synth_frames(graph, image_size, image_size, modalities, seed)
-    return SceneAssets(graph=graph, acoustics=acoustics, frames=frames)
+    inst_map = (
+        synth_instance_to_mpcat(seed) if "semantic" in modalities else None
+    )
+    return SceneAssets(
+        graph=graph, acoustics=acoustics, frames=frames,
+        instance_to_mpcat=inst_map,
+    )

@@ -70,6 +70,11 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
         rir=stack(lambda s: s.rir),
         goal_slot_of_node=stack(lambda s: s.goal_slot_of_node, fill=-1),
         proximity=stack(lambda s: s.proximity),
+        instance_to_mpcat=(
+            stack(lambda s: s.instance_to_mpcat)
+            if first.instance_to_mpcat is not None
+            else None
+        ),
         seg_fft=stack(lambda s: s.seg_fft),
         seg_block_fft=stack(lambda s: s.seg_block_fft),
         sounds=stack(lambda s: s.sounds),

@@ -95,3 +95,52 @@ def test_sws_zero_when_audible(sem_world):
     _, _, _, done, info = env.step(at_goal, jnp.full((2,), STOP))
     np.testing.assert_allclose(np.asarray(info["success"]), 1.0)
     np.testing.assert_allclose(np.asarray(info["sws"]), 0.0)
+
+
+def test_semantic_object_and_mpcat40_sensors():
+    """SemanticObjectSensor: instance ids -> mpcat40 -> task id (+ RGB);
+    MPCAT40Index: goal category's mpcat40 id
+    (soundspaces/tasks/nav.py:514-697)."""
+    from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.scene.mp3d import (
+        NUM_TASK_CATEGORIES,
+        TASK_ID_TO_MPCAT40,
+        mpcat40_to_task_id_table,
+        semantic_palette,
+    )
+
+    assets = make_synthetic_assets(
+        num_nodes_hint=12, sampling_rate=4000, rir_max_len=800, image_size=16,
+        modalities=("depth", "semantic"), max_secs=2, seed=5,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 8, seed=6)
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "semantic_object", "mpcat40_index")),
+        scene, episodes, num_envs=2,
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    sem = np.asarray(obs["semantic_object"])
+    assert sem.shape == (2, 16, 16)
+    # verify the double remap for env 0 against numpy
+    node, rot = int(state.node[0]), int(state.rot_idx[0])
+    inst = np.asarray(assets.frames.modalities["semantic"])[node, rot, ..., 0]
+    want = mpcat40_to_task_id_table()[assets.instance_to_mpcat[inst]]
+    np.testing.assert_array_equal(sem[0], want)
+    assert sem.max() <= NUM_TASK_CATEGORIES  # unknown class included
+
+    # goal category's mpcat40 id
+    mp = np.asarray(obs["mpcat40_index"])
+    cat = np.asarray(state.category)
+    np.testing.assert_array_equal(mp[:, 0], TASK_ID_TO_MPCAT40[cat])
+
+    # RGB colorization variant
+    env_rgb = AudioNavEnv(
+        EnvConfig(sensors=("semantic_object",), semantic_to_rgb=True),
+        scene, episodes, num_envs=2,
+    )
+    _, obs_rgb = env_rgb.reset(jax.random.PRNGKey(0))
+    rgb = np.asarray(obs_rgb["semantic_object"])
+    assert rgb.shape == (2, 16, 16, 3)
+    np.testing.assert_array_equal(rgb[0], semantic_palette()[want])
