@@ -37,7 +37,15 @@ from soundspaces_tpu.ops.partitioned import (
     partitioned_windowed_convolve_fft,
 )
 from soundspaces_tpu.ops.stft import spectrogram, spectrogram_shape
-from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
+from soundspaces_tpu.scene.graph import (
+    MOVE_BACKWARD,
+    MOVE_FORWARD,
+    MOVE_LEFT,
+    MOVE_RIGHT,
+    STOP,
+    TURN_LEFT,
+    TURN_RIGHT,
+)
 
 
 class AudioNavEnv:
@@ -163,19 +171,48 @@ class AudioNavEnv:
 
     def _step_one(self, scene, episodes, state: EnvState, action: jax.Array):
         cfg = self.config
+        if cfg.action_space != "default":
+            # local policy index -> global action id (ActionSpaceConfiguration)
+            from soundspaces_tpu.scene.graph import ACTION_SPACES
+
+            action = jnp.asarray(
+                ACTION_SPACES[cfg.action_space], jnp.int32
+            )[action]
 
         is_stop = action == STOP
-        is_fwd = action == MOVE_FORWARD
-        fwd = scene.forward_neighbor[state.node, state.rot_idx]
+        # translations: forward along the heading; backward/left/right strafe
+        # without rotating (move-all, soundspaces/tasks/action_space.py:17-46)
+        move_dir = jnp.select(
+            [
+                action == MOVE_FORWARD,
+                action == MOVE_BACKWARD,
+                action == MOVE_LEFT,
+                action == MOVE_RIGHT,
+            ],
+            [
+                state.rot_idx,
+                (state.rot_idx + 2) % 4,
+                (state.rot_idx + 1) % 4,
+                (state.rot_idx - 1) % 4,
+            ],
+            state.rot_idx,
+        )
+        is_move = (
+            (action == MOVE_FORWARD)
+            | (action == MOVE_BACKWARD)
+            | (action == MOVE_LEFT)
+            | (action == MOVE_RIGHT)
+        )
+        fwd = scene.forward_neighbor[state.node, move_dir]
         blocked = fwd < 0
-        new_node = jnp.where(is_fwd & ~blocked, fwd, state.node)
+        new_node = jnp.where(is_move & ~blocked, fwd, state.node)
         # TURN_LEFT rotates +90 deg, TURN_RIGHT -90 (simulator.py:512-516)
         new_rot = jnp.where(
             action == TURN_LEFT,
             (state.rot_idx + 1) % 4,
             jnp.where(action == TURN_RIGHT, (state.rot_idx - 1) % 4, state.rot_idx),
         )
-        collided = is_fwd & blocked
+        collided = is_move & blocked
 
         step_count = state.step_count + 1
         num_actions = state.num_actions + 1

@@ -39,10 +39,15 @@ class EnvConfig:
     semantic_to_rgb: bool = False
     # episode scheduling: "random" (training) or "sequential" (eval sweeps)
     episode_sampling: str = "random"
+    # which action subset the task exposes (ActionSpaceConfiguration,
+    # soundspaces/tasks/action_space.py): "default" or "move-all"
+    action_space: str = "default"
 
     @property
     def num_actions(self) -> int:
-        return 4  # STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT
+        from soundspaces_tpu.scene.graph import ACTION_SPACES
+
+        return len(ACTION_SPACES[self.action_space])
 
 
 @struct.dataclass

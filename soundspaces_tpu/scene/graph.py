@@ -36,6 +36,20 @@ STOP = 0
 MOVE_FORWARD = 1
 TURN_LEFT = 2
 TURN_RIGHT = 3
+# extended ids (HabitatSimActions.extend_action_space order,
+# soundspaces/tasks/action_space.py:12-14): translations without rotation
+MOVE_BACKWARD = 4
+MOVE_LEFT = 5
+MOVE_RIGHT = 6
+
+# named action subsets (the ActionSpaceConfiguration role): a task exposes
+# one subset; policies index into it and the env maps back to global ids
+ACTION_SPACES = {
+    "default": (STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT),
+    # "move-all" (MoveOnlySpaceConfiguration, action_space.py:17-46):
+    # pure translations, no turns
+    "move-all": (STOP, MOVE_FORWARD, MOVE_BACKWARD, MOVE_RIGHT, MOVE_LEFT),
+}
 
 
 @dataclasses.dataclass

@@ -172,3 +172,34 @@ def test_sequential_episode_iteration(setup):
     np.testing.assert_array_equal(
         np.asarray(state1.start_node), np.asarray(episodes.start_node[2:4])
     )
+
+
+def test_move_all_action_space(setup):
+    """'move-all' (MoveOnlySpaceConfiguration): STOP + 4 translations, no
+    turns; strafes move to the neighbor at ±90° without rotating
+    (soundspaces/tasks/action_space.py:12-46)."""
+    assets, scene, episodes = setup
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram",), action_space="move-all"),
+        scene, episodes, 2,
+    )
+    assert env.config.num_actions == 5
+    g = assets.graph
+    state, _ = env.reset(jax.random.PRNGKey(7))
+    node0 = np.asarray(state.node)
+    rot0 = np.asarray(state.rot_idx)
+    # local ids: 0 STOP, 1 FORWARD, 2 BACKWARD, 3 RIGHT, 4 LEFT
+    for local, ddir in ((1, 0), (2, 2), (3, -1), (4, 1)):
+        s1, o1, _, done, _ = env.step(state, jnp.full((2,), local))
+        assert not np.any(np.asarray(done))
+        np.testing.assert_array_equal(np.asarray(s1.rot_idx), rot0)  # no turn
+        for i in range(2):
+            expect = g.forward_neighbor[node0[i], (rot0[i] + ddir) % 4]
+            got = int(np.asarray(s1.node)[i])
+            if expect >= 0:
+                assert got == expect, (local, ddir)
+            else:
+                assert got == node0[i]  # blocked strafe: stay put
+    # STOP ends the episode
+    s2, _, _, done, _ = env.step(state, jnp.zeros(2, jnp.int32))
+    assert np.all(np.asarray(done))
