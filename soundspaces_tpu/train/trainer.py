@@ -394,10 +394,17 @@ class PPOTrainer:
                 from soundspaces_tpu.utils.video import (
                     images_to_video_with_audio,
                     observations_to_image,
+                    top_down_map_from_state,
                 )
 
                 single = {k: np.asarray(v[0]) for k, v in obs.items()}
-                video_frames.append(observations_to_image(single))
+                frame = observations_to_image(single)
+                # TOP_DOWN_MAP panel (ppo_trainer.py:446-453, 628-635)
+                tdm = top_down_map_from_state(env.scene, state, 0)
+                h = max(frame.shape[0], tdm.shape[0])
+                frame = np.pad(frame, ((0, h - frame.shape[0]), (0, 0), (0, 0)))
+                tdm = np.pad(tdm, ((0, h - tdm.shape[0]), (0, 0), (0, 0)))
+                video_frames.append(np.concatenate([frame, tdm], axis=1))
                 video_audio.append(np.asarray(obs["audiogoal"][0]))
                 if bool(np.asarray(done)[0]) and video_frames:
                     images_to_video_with_audio(

@@ -76,3 +76,72 @@ def observations_to_image(obs: dict, info: dict | None = None) -> np.ndarray:
         np.pad(t, ((0, h - t.shape[0]), (0, 0), (0, 0))) for t in tiles
     ]
     return np.concatenate(padded, axis=1)
+
+
+# RGB colors for map cells (plot_top_down_map role,
+# ss_baselines/common/utils.py:231-276)
+_MAP_BLOCKED = np.array([40, 40, 48], np.uint8)
+_MAP_WALKABLE = np.array([235, 235, 235], np.uint8)
+_MAP_TRAIL = np.array([120, 170, 255], np.uint8)
+_MAP_GOAL = np.array([40, 200, 80], np.uint8)
+_MAP_AGENT = np.array([220, 50, 50], np.uint8)
+
+
+def plot_top_down_map(
+    occupancy: np.ndarray,  # [Gz, Gx] 1.0 = walkable
+    agent_xz: tuple[int, int],
+    rot_idx: int,
+    goal_xz: tuple[int, int] | None = None,
+    trail: list[tuple[int, int]] | None = None,
+    scale: int = 4,
+) -> np.ndarray:
+    """Top-down map image [Gz*scale, Gx*scale, 3] uint8: walkable cells
+    light, blocked dark, optional trail, goal dot, and an agent arrow
+    pointing along the heading (plot_top_down_map + agent-sprite drawing,
+    ss_baselines/common/utils.py:231-276)."""
+    occ = np.asarray(occupancy)
+    img = np.where(occ[..., None] > 0.5, _MAP_WALKABLE, _MAP_BLOCKED)
+    img = img.astype(np.uint8).repeat(scale, axis=0).repeat(scale, axis=1)
+    h, w = img.shape[:2]
+
+    def disk(cx, cz, r, color):
+        z0, z1 = max(cz - r, 0), min(cz + r + 1, h)
+        x0, x1 = max(cx - r, 0), min(cx + r + 1, w)
+        zz, xx = np.mgrid[z0:z1, x0:x1]
+        mask = (zz - cz) ** 2 + (xx - cx) ** 2 <= r * r
+        img[z0:z1, x0:x1][mask] = color
+
+    mid = scale // 2
+    for gx, gz in trail or []:
+        disk(gx * scale + mid, gz * scale + mid, max(scale // 3, 1), _MAP_TRAIL)
+    if goal_xz is not None:
+        disk(goal_xz[0] * scale + mid, goal_xz[1] * scale + mid,
+             max(scale // 2, 2), _MAP_GOAL)
+    ax, az = agent_xz[0] * scale + mid, agent_xz[1] * scale + mid
+    disk(ax, az, max(scale // 2, 2), _MAP_AGENT)
+    # heading arrow: rot 0 faces -x in mesh frame (270 deg - 90*rot)
+    ang = np.deg2rad(270.0 - 90.0 * rot_idx)
+    for t in range(scale * 2):
+        px = int(round(ax + np.cos(ang) * t))
+        pz = int(round(az + np.sin(ang) * t))
+        if 0 <= pz < h and 0 <= px < w:
+            img[pz, px] = _MAP_AGENT
+    return img
+
+
+def top_down_map_from_state(scene, state, env_index: int = 0,
+                            trail: list | None = None,
+                            scale: int = 4) -> np.ndarray:
+    """Render the map for one env of a batched EnvState over a DeviceScene."""
+    node = int(np.asarray(state.node)[env_index])
+    goal = int(np.asarray(state.goal_node)[env_index])
+    rot = int(np.asarray(state.rot_idx)[env_index])
+    xz = np.asarray(scene.node_grid_xz)
+    return plot_top_down_map(
+        np.asarray(scene.occupancy),
+        (int(xz[node, 0]), int(xz[node, 1])),
+        rot,
+        goal_xz=(int(xz[goal, 0]), int(xz[goal, 1])),
+        trail=trail,
+        scale=scale,
+    )

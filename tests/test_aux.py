@@ -170,3 +170,31 @@ def test_evaluate_writes_videos(tmp_path):
     assert stats["episode_count"] >= 1
     assert any(f.endswith(".avi") for f in _os.listdir(tmp_path))
     assert any(f.endswith(".wav") for f in _os.listdir(tmp_path))
+
+
+def test_top_down_map_render():
+    """Top-down map image: walkable/blocked coloring, goal + agent markers
+    (plot_top_down_map, ss_baselines/common/utils.py:231-276)."""
+    import jax
+
+    from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.utils.video import plot_top_down_map, top_down_map_from_state
+
+    occ = np.zeros((10, 12), np.float32)
+    occ[2:8, 3:9] = 1.0
+    img = plot_top_down_map(occ, agent_xz=(4, 4), rot_idx=1, goal_xz=(7, 6),
+                            trail=[(5, 5)], scale=4)
+    assert img.shape == (40, 48, 3) and img.dtype == np.uint8
+    assert (img[4 * 4 + 2, 4 * 4 + 2] == [220, 50, 50]).all()  # agent
+    assert (img[6 * 4 + 2, 7 * 4 + 2] == [40, 200, 80]).all()  # goal
+    assert (img[0, 0] == [40, 40, 48]).all()  # blocked corner
+
+    assets = make_synthetic_assets(num_nodes_hint=12, sampling_rate=4000,
+                                   rir_max_len=600, image_size=8, seed=2)
+    scene = DeviceScene.from_assets(assets)
+    env = AudioNavEnv(EnvConfig(sensors=("spectrogram",)), scene,
+                      make_episode_bank(assets, 4, seed=3), 2)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    frame = top_down_map_from_state(scene, state, 0)
+    assert frame.ndim == 3 and frame.shape[-1] == 3
