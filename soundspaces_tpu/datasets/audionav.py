@@ -144,6 +144,15 @@ def episodes_to_bank(
     category = np.zeros(n, np.int32)
     d_sound = np.full(n, -1, np.int32)
     d_slot = np.full(n, -1, np.int32)
+    # goal view points -> nearest graph nodes (SemanticAudioGoal.view_points;
+    # the CONTINUOUS +0.1 height nudge, audionav_dataset.py:160-162, is a
+    # mesh-snapping artifact with no graph equivalent)
+    vp_lists: list[list[int]] = []
+    pts_xz = graph.points[:, [0, 2]]
+
+    def nearest_node(pos) -> int:
+        d = np.hypot(pts_xz[:, 0] - pos[0], pts_xz[:, 1] - pos[2])
+        return int(np.argmin(d))
 
     for i, ep in enumerate(episodes):
         start_node[i] = node_of[enc(ep.start_position)]
@@ -175,8 +184,20 @@ def episodes_to_bank(
             d_slot[i] = int(
                 acoustics.goal_slot_of_node[ep.distractor_position_index]
             )
+        vps = [g]
+        for vp in ep.goals[0].get("view_points") or []:
+            pos = (vp.get("agent_state") or {}).get("position")
+            if pos is not None:
+                vps.append(nearest_node(pos))
+        vp_lists.append(sorted(set(vps)))
+
+    v_max = max(len(v) for v in vp_lists) if vp_lists else 1
+    viewpoints = np.full((n, v_max), -1, np.int32)
+    for i, v in enumerate(vp_lists):
+        viewpoints[i, : len(v)] = v
 
     return EpisodeBank(
+        viewpoint_nodes=jnp.asarray(viewpoints),
         start_node=jnp.asarray(start_node),
         start_rot_idx=jnp.asarray(start_rot),
         goal_node=jnp.asarray(goal_node),

@@ -161,6 +161,7 @@ class AudioNavEnv:
             path_length=jnp.float32(0.0),
             num_actions=jnp.int32(0),
             collided=jnp.bool_(False),
+            viewpoint_nodes=ep.viewpoint_nodes[i],
             ep_ptr=ep_ptr + jnp.int32(self.num_envs),
             rng=rng,
         )
@@ -220,7 +221,13 @@ class AudioNavEnv:
         path_length = state.path_length + moved
 
         geo = scene.geodesic(new_node, state.goal_node)
-        success = is_stop & (new_node == state.goal_node)
+        # success = STOP at the goal or any of its view points (the semantic
+        # task's object-visibility success, semantic_audionav_task.py:28-46;
+        # for plain AudioGoal the view-point set is just the goal node)
+        reached = (new_node == state.goal_node) | jnp.any(
+            new_node == state.viewpoint_nodes
+        )
+        success = is_stop & reached
         done = is_stop | (step_count >= cfg.max_episode_steps)
 
         # reward shaping (environments.py:74-91)

@@ -208,6 +208,10 @@ class EpisodeBank:
     category: jax.Array  # [E] i32 goal object category
     distractor_sound_id: jax.Array  # [E] i32, -1 = no distractor
     distractor_slot: jax.Array  # [E] i32 RIR goal-slot of the distractor
+    # [E, V] i32 nodes from which the goal object is visible, -1 padded
+    # (SemanticAudioGoal.view_points, semantic_audionav_task.py:28-46);
+    # success = STOP at any of them. Defaults to just the goal node.
+    viewpoint_nodes: jax.Array
 
     @property
     def num_episodes(self) -> int:
@@ -238,6 +242,7 @@ class EnvState:
     path_length: jax.Array  # f32 cumulative euclidean path
     num_actions: jax.Array  # i32
     collided: jax.Array  # bool
+    viewpoint_nodes: jax.Array  # [V] i32 success nodes, -1 padded
     ep_ptr: jax.Array  # i32 sequential episode cursor
     rng: jax.Array  # PRNG key
 
@@ -284,6 +289,7 @@ def make_episode_bank(
         d_slot = np.full(num_episodes, -1, np.int32)
         d_sound = np.full(num_episodes, -1, np.int32)
     return EpisodeBank(
+        viewpoint_nodes=jnp.asarray(goals.astype(np.int32))[:, None],
         start_node=jnp.asarray(starts),
         start_rot_idx=jnp.asarray(rots),
         goal_node=jnp.asarray(goals.astype(np.int32)),

@@ -92,15 +92,27 @@ def stack_episode_banks(banks: Sequence[EpisodeBank]) -> EpisodeBank:
     counts padded by cycling — sampling is uniform anyway)."""
     e_max = max(b.num_episodes for b in banks)
 
-    def stack(get):
+    def stack(get, fill=0):
         arrs = []
         for b in banks:
             a = np.asarray(get(b))
             reps = -(-e_max // a.shape[0])
             arrs.append(np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:e_max])
-        return jnp.asarray(np.stack(arrs))
+        # pad ragged trailing dims (e.g. per-scene view-point counts)
+        target = tuple(
+            max(a.shape[d] for a in arrs) for d in range(1, arrs[0].ndim)
+        )
+        padded = []
+        for a in arrs:
+            out = np.full((e_max,) + target, fill, a.dtype)
+            out[(slice(None),) + tuple(slice(0, s) for s in a.shape[1:])] = a
+            padded.append(out)
+        return jnp.asarray(np.stack(padded))
 
     return EpisodeBank(
+        viewpoint_nodes=stack(
+            lambda b: getattr(b, "viewpoint_nodes"), fill=-1
+        ),
         **{
             f: stack(lambda b, f=f: getattr(b, f))
             for f in (
