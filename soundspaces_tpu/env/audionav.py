@@ -168,7 +168,15 @@ class AudioNavEnv:
 
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(episodes, rng, env_id)
-        return state, self._observe(scene, state)
+        obs = self._observe(scene, state)
+        if self.config.continuous_view_change:
+            # same pytree structure as step obs (scan-carry compatibility)
+            obs.update(
+                self._intermediate_frames(
+                    scene, state.node, state.rot_idx, state.node, state.rot_idx
+                )
+            )
+        return state, obs
 
     def _step_one(self, scene, episodes, state: EnvState, action: jax.Array):
         cfg = self.config
@@ -276,7 +284,35 @@ class AudioNavEnv:
         new_state = jax.tree.map(
             lambda a, b: jnp.where(done, a, b), fresh, continued
         )
-        return new_state, self._observe(scene, new_state), reward, done, info
+        obs = self._observe(scene, new_state)
+        if cfg.continuous_view_change:
+            obs.update(
+                self._intermediate_frames(
+                    scene, state.node, state.rot_idx, new_node, new_rot
+                )
+            )
+        return new_state, obs, reward, done, info
+
+    def _intermediate_frames(
+        self, scene, prev_node, prev_rot, new_node, new_rot
+    ) -> dict[str, jax.Array]:
+        """CONTINUOUS_VIEW_CHANGE (simulator.py:518-545): fps-1 intermediate
+        views per step. The reference re-renders at interpolated poses; with
+        cached frame banks the analog is a linear blend between the previous
+        and new pose's frames."""
+        fps = self.config.view_change_fps
+        w = (jnp.arange(1, fps, dtype=jnp.float32) / fps)[
+            :, None, None, None
+        ]
+        out = {}
+        for m, bank in scene.frames.items():
+            if m not in self.config.sensors:
+                continue
+            f0 = bank[prev_node, prev_rot].astype(jnp.float32)
+            f1 = bank[new_node, new_rot].astype(jnp.float32)
+            mid = f0[None] * (1.0 - w) + f1[None] * w
+            out[f"intermediate_{m}"] = mid.astype(bank.dtype)
+        return out
 
     # -------------------------------------------------------------- sensors
     def _observe(self, scene, state: EnvState) -> dict[str, jax.Array]:

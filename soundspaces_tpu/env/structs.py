@@ -37,6 +37,12 @@ class EnvConfig:
     num_categories: int = 21
     # SemanticObjectSensor CONVERT_TO_RGB (soundspaces/tasks/nav.py:655-661)
     semantic_to_rgb: bool = False
+    # CONTINUOUS_VIEW_CHANGE (simulator.py:518-545): emit interpolated
+    # intermediate frames between the previous and new pose for smooth demo
+    # videos. The reference re-renders at fps-1 intermediate poses; the
+    # frame-bank analog blends the cached endpoint frames.
+    continuous_view_change: bool = False
+    view_change_fps: int = 10
     # episode scheduling: "random" (training) or "sequential" (eval sweeps)
     episode_sampling: str = "random"
     # which action subset the task exposes (ActionSpaceConfiguration,

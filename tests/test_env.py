@@ -203,3 +203,30 @@ def test_move_all_action_space(setup):
     # STOP ends the episode
     s2, _, _, done, _ = env.step(state, jnp.zeros(2, jnp.int32))
     assert np.all(np.asarray(done))
+
+
+def test_continuous_view_change_intermediates(setup):
+    """CONTINUOUS_VIEW_CHANGE (simulator.py:518-545): fps-1 intermediate
+    frames blending previous -> new pose."""
+    assets, scene, episodes = setup
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "depth"),
+                  continuous_view_change=True, view_change_fps=5),
+        scene, episodes, 2,
+    )
+    state, obs0 = env.reset(jax.random.PRNGKey(9))
+    assert obs0["intermediate_depth"].shape[:2] == (2, 4)
+    s1, obs1, _, done, _ = env.step(state, jnp.full((2,), MOVE_FORWARD))
+    mid = np.asarray(obs1["intermediate_depth"])
+    f0 = np.asarray(scene.frames["depth"])[
+        np.asarray(state.node), np.asarray(state.rot_idx)
+    ]
+    f1 = np.asarray(scene.frames["depth"])[
+        np.asarray(s1.node), np.asarray(s1.rot_idx)
+    ]
+    for i in range(2):
+        want = f0[i] + (1.0 / 5.0) * (f1[i] - f0[i])
+        np.testing.assert_allclose(mid[i, 0], want, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            mid[i, -1], f0[i] + 0.8 * (f1[i] - f0[i]), rtol=1e-5, atol=1e-6
+        )
