@@ -233,6 +233,73 @@ void synth_one(const Grid& grid, const Config& cfg, const float* points,
   }
 }
 
+// One RIR at an arbitrary continuous pose (receiver x, z, heading) and
+// source position — the per-step SS2.0 path (the reference re-renders a
+// fresh RIR each step, continuous_simulator.py:370-426). Binaural uses the
+// CONTINUOUS heading rather than the bank's four quantized azimuths.
+void trace_one_pose(const Grid& grid, const Config& cfg, float rx, float rz,
+                    float heading, float sx, float sz,
+                    float* out /* [2][len] */) {
+  const int len = cfg.rir_len;
+
+  BandEnergy acc(len);
+  const uint64_t pose_salt =
+      (uint64_t)(int64_t)std::lround(rx * 512.0f) * 73856093ull ^
+      (uint64_t)(int64_t)std::lround(rz * 512.0f) * 19349663ull ^
+      (uint64_t)(int64_t)std::lround(sx * 512.0f) * 83492791ull ^
+      (uint64_t)(int64_t)std::lround(sz * 512.0f);
+  XorShift ray_rng(cfg.seed ^ pose_salt);
+  for (int r = 0; r < cfg.num_rays; ++r) {
+    float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
+    trace_ray(grid, cfg, sx, sz, rx, rz, std::cos(ang), std::sin(ang),
+              ray_rng, acc);
+  }
+
+  std::vector<float> carrier;
+  std::vector<float> envelope(len);
+  std::vector<float> diffuse(len, 0.0f);
+  for (int b = 0; b < kNumBands; ++b) {
+    float ema = 0.0f;
+    const float a = 0.995f;
+    for (int n = 0; n < len; ++n) {
+      ema = a * ema + (1 - a) * acc.e[b][n];
+      envelope[n] = std::sqrt(std::max(ema, 0.0f));
+    }
+    band_noise(b, len, cfg.sampling_rate, cfg.seed ^ (pose_salt + b),
+               carrier);
+    for (int n = 0; n < len; ++n) diffuse[n] += envelope[n] * carrier[n];
+  }
+
+  const float ddx = sx - rx, ddz = sz - rz;
+  const float dist =
+      std::max(std::sqrt(ddx * ddx + ddz * ddz), cfg.grid_size * 0.5f);
+  const float src_dir = std::atan2(ddz, ddx);
+  const bool occluded = [&] {
+    int steps = (int)(dist / (cfg.grid_size * 0.25f));
+    for (int i = 1; i < steps; ++i) {
+      float t = (float)i / steps;
+      if (!grid.walkable_at(rx + ddx * t, rz + ddz * t, cfg.grid_size))
+        return true;
+    }
+    return false;
+  }();
+
+  const float rel = src_dir - heading;
+  const float itd = 0.09f / kSpeedOfSound * std::sin(rel);
+  const float ild = 0.5f + 0.4f * std::sin(rel);
+  for (int ch = 0; ch < 2; ++ch) {
+    float* dst = out + (size_t)ch * len;
+    const float ear_gain = (ch == 0) ? (1.0f - ild) : ild;
+    const float ear_itd = (ch == 0) ? -itd * 0.5f : itd * 0.5f;
+    for (int n = 0; n < len; ++n) dst[n] = 0.7f * diffuse[n];
+    if (!occluded) {
+      const float delay = dist / kSpeedOfSound + ear_itd;
+      const int n0 = (int)std::lround(delay * cfg.sampling_rate);
+      if (n0 >= 0 && n0 < len) dst[n0] += ear_gain / dist;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -285,6 +352,48 @@ int synth_rir_bank(const float* points, int n_nodes, const int32_t* sources,
   int nt = num_threads > 0 ? num_threads
                            : (int)std::thread::hardware_concurrency();
   nt = std::max(1, std::min(nt, n_nodes));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
+// Per-step batched tracing at continuous poses (SS2.0's fresh-RIR-per-step).
+// recv_xzh: float32 [batch, 3] = (x, z, heading rad); src_xz: [batch, 2];
+// out: float32 [batch, 2, rir_len]. Threaded over the batch.
+int trace_rirs(const float* recv_xzh, int batch, const float* src_xz,
+               const uint8_t* occupancy, int grid_h, int grid_w,
+               float grid_size, int sampling_rate, int rir_len, int num_rays,
+               int max_bounces, const float* absorption, float scattering,
+               float air_absorption, uint64_t seed, int num_threads,
+               float* out) {
+  Config cfg;
+  cfg.sampling_rate = sampling_rate;
+  cfg.rir_len = rir_len;
+  cfg.num_rays = std::max(num_rays, 1);
+  cfg.max_bounces = max_bounces;
+  cfg.grid_size = grid_size;
+  cfg.receiver_radius = grid_size * 0.6f;
+  for (int b = 0; b < kNumBands; ++b) cfg.absorption[b] = absorption[b];
+  cfg.scattering = scattering;
+  cfg.air_absorption = air_absorption;
+  cfg.seed = seed;
+
+  Grid grid{occupancy, grid_h, grid_w};
+  std::atomic<int> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= batch) return;
+      trace_one_pose(grid, cfg, recv_xzh[i * 3 + 0], recv_xzh[i * 3 + 1],
+                     recv_xzh[i * 3 + 2], src_xz[i * 2 + 0],
+                     src_xz[i * 2 + 1], out + (size_t)i * 2 * rir_len);
+    }
+  };
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  nt = std::max(1, std::min(nt, batch));
   std::vector<std::thread> pool;
   pool.reserve(nt);
   for (int i = 0; i < nt; ++i) pool.emplace_back(worker);

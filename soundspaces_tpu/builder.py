@@ -124,6 +124,14 @@ def build_env(
         )
 
         c = cfg.continuous
+        tracer = None
+        if c.rir_source == "tracer":
+            from soundspaces_tpu.tools.rir_synth import PoseTracer
+
+            tracer = PoseTracer(
+                assets.graph, cfg.data.sampling_rate, cfg.data.rir_max_len,
+                num_rays=c.num_rays,
+            )
         return ContinuousAudioNavEnv(
             ContinuousConfig(
                 step_size=c.step_size,
@@ -136,8 +144,10 @@ def build_env(
                 success_reward=env_cfg.success_reward,
                 distance_reward_scale=env_cfg.distance_reward_scale,
                 sensors=tuple(env_cfg.sensors),
+                rir_source=c.rir_source,
             ),
             scene, episodes, num_envs or cfg.trainer.num_envs,
+            tracer=tracer,
         )
     return AudioNavEnv(
         env_cfg, scene, episodes, num_envs or cfg.trainer.num_envs

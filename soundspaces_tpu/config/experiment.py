@@ -65,6 +65,10 @@ class ContinuousOverrides:
     step_time: float = 0.25
     use_crossfade: bool = True
     success_distance: float = 0.36
+    # per-step RIR source: "bank" (precomputed HBM gather) or "tracer"
+    # (fresh native ray trace at the exact pose, SS2.0's AudioSensor)
+    rir_source: str = "bank"
+    num_rays: int = 500  # indirectRayCount (continuous_simulator.py:123)
 
 
 @dataclasses.dataclass(frozen=True)

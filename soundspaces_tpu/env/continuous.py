@@ -49,6 +49,13 @@ class ContinuousConfig:
     success_reward: float = 10.0
     distance_reward_scale: float = 1.0
     sensors: tuple[str, ...] = ("spectrogram",)
+    # where the per-step RIR comes from: "bank" gathers the precomputed HBM
+    # bank at the nearest (node, azimuth); "tracer" renders a FRESH RIR at
+    # the exact continuous pose each step with the native C++ ray tracer via
+    # host callback — the reference's AudioSensor behavior
+    # (continuous_simulator.py:115-126). Tracer mode is host-bound by
+    # design (so is the reference's CPU ray tracer).
+    rir_source: str = "bank"
 
 
 @struct.dataclass
@@ -62,6 +69,9 @@ class ContinuousEnvState:
     sample_index: jax.Array  # i32 cursor into the source sound
     prev_node: jax.Array  # last step's RIR indices (for crossfade)
     prev_az: jax.Array
+    prev_x: jax.Array  # last step's continuous pose (tracer-mode crossfade)
+    prev_z: jax.Array
+    prev_heading: jax.Array
     step_count: jax.Array
     start_geodesic: jax.Array
     prev_geodesic: jax.Array
@@ -80,11 +90,18 @@ class ContinuousAudioNavEnv:
         scene: DeviceScene,
         episodes: EpisodeBank,
         num_envs: int,
+        tracer=None,  # tools.rir_synth.PoseTracer for rir_source="tracer"
     ):
         self.config = config
         self.scene = scene
         self.episodes = episodes
         self.num_envs = num_envs
+        self._tracer = tracer
+        if config.rir_source == "tracer":
+            assert tracer is not None, (
+                "rir_source='tracer' needs a PoseTracer (tools.rir_synth)"
+            )
+            assert tracer.rir_max_len == scene.rir_max_len
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
 
@@ -144,6 +161,9 @@ class ContinuousAudioNavEnv:
             sample_index=sample0,
             prev_node=node,
             prev_az=self._az_idx(heading),
+            prev_x=scene.points[node, 0],
+            prev_z=scene.points[node, 2],
+            prev_heading=heading,
             step_count=jnp.int32(0),
             start_geodesic=geo,
             prev_geodesic=geo,
@@ -221,6 +241,9 @@ class ContinuousAudioNavEnv:
             sample_index=(state.sample_index + num_sample) % sound_samples,
             prev_node=self._nearest_node(scene, state.x, state.z),
             prev_az=self._az_idx(state.heading),
+            prev_x=state.x,
+            prev_z=state.z,
+            prev_heading=state.heading,
             step_count=step_count,
             prev_geodesic=geo,
             path_length=path_length,
@@ -231,13 +254,43 @@ class ContinuousAudioNavEnv:
         return new_state, self._observe(scene, new_state), reward, done, info
 
     # -------------------------------------------------------------- sensors
-    def _render_audio(self, scene, state, node, az):
-        cfg = self.config
-        sr = scene.sampling_rate
-        num_sample = int(round(cfg.step_time * sr))
+    def _traced_rir(self, scene, x, z, heading, goal_node):
+        """Fresh RIR at the exact continuous pose via the native ray tracer
+        (host callback; the role of sim.get_sensor_observations()['audio_
+        sensor'], continuous_simulator.py:408-412)."""
+        recv = jnp.stack(
+            [x, z, heading.astype(jnp.float32)], axis=-1
+        ).astype(jnp.float32)
+        src = jnp.stack(
+            [scene.points[goal_node, 0], scene.points[goal_node, 2]], axis=-1
+        ).astype(jnp.float32)
+        rir_len = scene.rir_max_len
+        tracer = self._tracer
+
+        def host(recv_np, src_np):
+            r = np.asarray(recv_np, np.float32)
+            s = np.asarray(src_np, np.float32)
+            lead = r.shape[:-1]
+            out = tracer(r.reshape(-1, 3), s.reshape(-1, 2))
+            return out.reshape(lead + (2, rir_len)).astype(np.float32)
+
+        shape = jax.ShapeDtypeStruct((2, rir_len), jnp.float32)
+        return jax.pure_callback(
+            host, shape, recv, src, vmap_method="broadcast_all"
+        )
+
+    def _rir_at(self, scene, state, node, az, x, z, heading):
+        if self.config.rir_source == "tracer":
+            return self._traced_rir(scene, x, z, heading, state.goal_node)
         rir = scene.rir[az, node, state.goal_slot]
         if rir.dtype != jnp.float32:
             rir = rir.astype(jnp.float32)
+        return rir
+
+    def _render_audio(self, scene, state, rir):
+        cfg = self.config
+        sr = scene.sampling_rate
+        num_sample = int(round(cfg.step_time * sr))
         src = _sound_of(scene, state.sound_id)
         true_len = (
             jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1) * sr
@@ -256,11 +309,15 @@ class ContinuousAudioNavEnv:
         cfg = self.config
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
-        audio = self._render_audio(scene, state, node, az)
+        rir = self._rir_at(scene, state, node, az, state.x, state.z,
+                           state.heading)
+        audio = self._render_audio(scene, state, rir)
         if cfg.use_crossfade:
-            prev_audio = self._render_audio(
-                scene, state, state.prev_node, state.prev_az
+            prev_rir = self._rir_at(
+                scene, state, state.prev_node, state.prev_az,
+                state.prev_x, state.prev_z, state.prev_heading,
             )
+            prev_audio = self._render_audio(scene, state, prev_rir)
             audio = crossfade(prev_audio, audio, scene.sampling_rate)
         obs = {}
         if "audiogoal" in cfg.sensors:

@@ -64,6 +64,19 @@ def _load():
             ctypes.c_uint64, ctypes.c_int,  # seed, num_threads
             ctypes.POINTER(ctypes.c_float),  # out
         ]
+        _lib.trace_rirs.restype = ctypes.c_int
+        _lib.trace_rirs.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,  # recv_xzh, batch
+            ctypes.POINTER(ctypes.c_float),  # src_xz
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,  # occ
+            ctypes.c_float,  # grid_size
+            ctypes.c_int, ctypes.c_int,  # sampling_rate, rir_len
+            ctypes.c_int, ctypes.c_int,  # num_rays, max_bounces
+            ctypes.POINTER(ctypes.c_float),  # absorption[4]
+            ctypes.c_float, ctypes.c_float,  # scattering, air_absorption
+            ctypes.c_uint64, ctypes.c_int,  # seed, num_threads
+            ctypes.POINTER(ctypes.c_float),  # out
+        ]
     return _lib
 
 
@@ -126,3 +139,72 @@ def synth_rir_bank_native(
     )
     assert ret == 0
     return out
+
+
+class PoseTracer:
+    """Per-step RIR tracing at continuous poses — the role of the embedded
+    AudioSensor that re-renders a fresh RIR each step in SS2.0
+    (continuous_simulator.py:115-126, 370-426). Holds the host-side scene
+    grid; __call__ traces a batch of (receiver pose, source) pairs with the
+    native thread pool."""
+
+    def __init__(
+        self,
+        graph: SceneGraph,
+        sampling_rate: int,
+        rir_max_len: int,
+        num_rays: int = 500,
+        max_bounces: int = 40,
+        absorption: tuple[float, float, float, float] = (0.08, 0.1, 0.14, 0.2),
+        scattering: float = 0.3,
+        air_absorption: float = 0.005,
+        seed: int = 0,
+        num_threads: int = 0,
+    ):
+        self._lib = _load()
+        self._occ, self._origin = occupancy_from_graph(graph)
+        self.grid_size = float(graph.grid_size)
+        self.sampling_rate = sampling_rate
+        self.rir_max_len = rir_max_len
+        self.num_rays = num_rays
+        self.max_bounces = max_bounces
+        self._absorption = np.asarray(absorption, np.float32)
+        self.scattering = scattering
+        self.air_absorption = air_absorption
+        self.seed = seed
+        self.num_threads = num_threads
+
+    def __call__(
+        self, recv_xzh: np.ndarray, src_xz: np.ndarray
+    ) -> np.ndarray:
+        """recv_xzh [B, 3] world (x, z, heading rad); src_xz [B, 2] world.
+        Returns [B, 2, rir_max_len] float32."""
+        recv = np.ascontiguousarray(recv_xzh, np.float32).copy()
+        src = np.ascontiguousarray(src_xz, np.float32).copy()
+        recv[:, 0] -= self._origin[0]
+        recv[:, 1] -= self._origin[1]
+        src[:, 0] -= self._origin[0]
+        src[:, 1] -= self._origin[1]
+        b = recv.shape[0]
+        out = np.zeros((b, 2, self.rir_max_len), np.float32)
+        ret = self._lib.trace_rirs(
+            recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._occ.shape[0],
+            self._occ.shape[1],
+            ctypes.c_float(self.grid_size),
+            self.sampling_rate,
+            self.rir_max_len,
+            self.num_rays,
+            self.max_bounces,
+            self._absorption.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(self.scattering),
+            ctypes.c_float(self.air_absorption),
+            ctypes.c_uint64(self.seed),
+            self.num_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert ret == 0
+        return out

@@ -124,3 +124,53 @@ def test_crossfade_smooths_rir_switch(cont_env):
     # previous pose differs from current after a move
     state1, obs1, *_ = env.step(state, jnp.full((2,), MOVE_FORWARD))
     assert np.isfinite(np.asarray(obs1["audiogoal"])).all()
+
+
+def test_tracer_mode_per_step_rir():
+    """rir_source='tracer': a fresh native-traced RIR at the exact pose each
+    step (the SS2.0 AudioSensor path, continuous_simulator.py:115-126,
+    408-426). Direct-path physics check: louder when closer to the source."""
+    from soundspaces_tpu.env import make_episode_bank
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.tools.rir_synth import PoseTracer, native_tracer_available
+
+    if not native_tracer_available():
+        pytest.skip("no native toolchain")
+
+    sr = 4000
+    assets = make_synthetic_assets(
+        num_nodes_hint=24, sampling_rate=sr, rir_max_len=1000, image_size=8,
+        num_sounds=1, max_secs=2, seed=41,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 8, seed=42, min_geodesic_hops=3)
+    tracer = PoseTracer(assets.graph, sr, 1000, num_rays=120, num_threads=2)
+    env = ContinuousAudioNavEnv(
+        ContinuousConfig(sensors=("audiogoal", "spectrogram",
+                                  "pointgoal_with_gps_compass"),
+                         rir_source="tracer", use_crossfade=True),
+        scene, episodes, num_envs=2, tracer=tracer,
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    ag = np.asarray(obs["audiogoal"])
+    assert ag.shape == (2, 2, sr) and np.isfinite(ag).all()
+    assert (np.abs(ag).max(axis=(1, 2)) > 0).all()
+
+    # walk env 0 toward the goal with a greedy controller; audio energy at
+    # the end (near source) should exceed energy at the start (far away)
+    rms0 = float(np.sqrt((ag[0] ** 2).mean()))
+    for _ in range(40):
+        pg = np.asarray(obs["pointgoal_with_gps_compass"])
+        acts = []
+        for i in range(2):
+            rho, phi = pg[i]
+            if abs(phi) > np.deg2rad(12):
+                acts.append(3 if phi > 0 else 2)
+            else:
+                acts.append(1)
+        state, obs, _, done, _ = env.step(state, jnp.asarray(acts))
+        if float(np.asarray(obs["pointgoal_with_gps_compass"])[0, 0]) < 0.6:
+            break
+    ag1 = np.asarray(obs["audiogoal"])
+    rms1 = float(np.sqrt((ag1[0] ** 2).mean()))
+    assert rms1 > rms0, (rms0, rms1)
