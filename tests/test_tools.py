@@ -92,3 +92,32 @@ def test_panoir_batch():
     assert out["ir"].shape == (3, 800)
     assert out["polar"].shape == (3, 2)
     assert (out["polar"][:, 0] >= 0).all()
+
+
+def test_download_manifest(tmp_path, capsys):
+    """URL construction + skip-existing logic of the dataset downloader
+    (scripts/download_data.py:13-40), manifest (offline) mode."""
+    import os
+
+    from soundspaces_tpu.tools.download import main, missing_urls, scene_urls
+
+    meta = tmp_path / "metadata" / "replica"
+    for scene in ("apartment_0", "office_1"):
+        (meta / scene).mkdir(parents=True)
+    urls = scene_urls(str(tmp_path / "metadata"), "replica", "binaural_rirs")
+    assert urls == [
+        "http://dl.fbaipublicfiles.com/SoundSpaces/binaural_rirs/replica/apartment_0.tar.gz",
+        "http://dl.fbaipublicfiles.com/SoundSpaces/binaural_rirs/replica/office_1.tar.gz",
+    ]
+    # a scene already on disk is skipped
+    (tmp_path / "data" / "binaural_rirs" / "replica" / "apartment_0").mkdir(
+        parents=True
+    )
+    todo = missing_urls(urls, str(tmp_path / "data"), "replica", "binaural_rirs")
+    assert [os.path.basename(u) for u in todo] == ["office_1.tar.gz"]
+
+    out = main([
+        "--manifest", "--metadata-dir", str(tmp_path / "metadata"),
+        "--output-dir", str(tmp_path / "data"), "--dataset", "replica",
+    ])
+    assert out == todo
