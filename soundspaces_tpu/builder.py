@@ -145,6 +145,8 @@ def build_env(
                 distance_reward_scale=env_cfg.distance_reward_scale,
                 sensors=tuple(env_cfg.sensors),
                 rir_source=c.rir_source,
+                live_depth=c.live_depth,
+                depth_size=cfg.data.image_size,
             ),
             scene, episodes, num_envs or cfg.trainer.num_envs,
             tracer=tracer,

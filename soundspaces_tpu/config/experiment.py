@@ -69,6 +69,8 @@ class ContinuousOverrides:
     # (fresh native ray trace at the exact pose, SS2.0's AudioSensor)
     rir_source: str = "bank"
     num_rays: int = 500  # indirectRayCount (continuous_simulator.py:123)
+    # live on-device depth rasterization at the exact pose (ops/raycast.py)
+    live_depth: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,10 @@ class ContinuousConfig:
     # (continuous_simulator.py:115-126). Tracer mode is host-bound by
     # design (so is the reference's CPU ray tracer).
     rir_source: str = "bank"
+    # live on-device depth rasterization at the exact pose (ops/raycast.py)
+    # instead of nearest-node frame-cache gathers
+    live_depth: bool = False
+    depth_size: int = 128
 
 
 @struct.dataclass
@@ -332,10 +336,32 @@ class ContinuousAudioNavEnv:
             phi = jnp.mod(phi + jnp.pi, 2 * jnp.pi) - jnp.pi
             obs["pointgoal_with_gps_compass"] = jnp.stack([rho, phi])
         for name in cfg.sensors:
-            if name in scene.frames:
+            if name == "depth" and cfg.live_depth:
+                obs[name] = self._live_depth(scene, state, node)
+            elif name in scene.frames:
                 rot = jnp.round((270.0 - jnp.rad2deg(state.heading)) / 90.0)
                 obs[name] = scene.frames[name][node, rot.astype(jnp.int32) % 4]
         return obs
+
+    def _live_depth(self, scene, state, node):
+        """Pose-exact depth via the on-device raycaster (ops/raycast.py) —
+        the habitat-sim renderer role without a frame cache. The occupancy
+        grid is node-anchored, so the camera's grid position is the node's
+        cell plus the continuous offset from that node."""
+        from soundspaces_tpu.ops.raycast import render_depth
+
+        res = self.scene.egomap_resolution
+        gx = scene.node_grid_xz[node, 0].astype(jnp.float32) * res + (
+            state.x - scene.points[node, 0]
+        )
+        gz = scene.node_grid_xz[node, 1].astype(jnp.float32) * res + (
+            state.z - scene.points[node, 2]
+        )
+        return render_depth(
+            scene.occupancy, gx, gz, state.heading,
+            height=self.config.depth_size, width=self.config.depth_size,
+            resolution=res,
+        )
 
 
 def _sound_of(scene, sound_id):
