@@ -70,3 +70,43 @@ def test_interactive_demo_scripted(tmp_path, monkeypatch):
     )
     interactive_demo.main(["--steps", "6", "--out", str(tmp_path), "--force-cpu"])
     assert any(f.endswith(".avi") for f in __import__("os").listdir(tmp_path))
+
+
+def test_remote_challenge_over_sockets():
+    """Full remote-eval round trip: EvalServer drives episodes over TCP,
+    the Challenge client runs the agent and returns the server's metrics
+    (the reference's gRPC/EvalAI protocol, benchmark.py:43-117)."""
+    import threading
+
+    import jax
+
+    from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+    from soundspaces_tpu.eval.agents import OracleAgent
+    from soundspaces_tpu.eval.challenge import Challenge, EvalServer, SocketTransport
+    from soundspaces_tpu.scene import make_synthetic_assets
+
+    assets = make_synthetic_assets(num_nodes_hint=16, sampling_rate=4000,
+                                   rir_max_len=500, image_size=8, seed=51)
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 8, seed=52, min_geodesic_hops=1)
+    env = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram", "oracle_action"),
+                  episode_sampling="sequential"),
+        scene, episodes, num_envs=1,
+    )
+    server = EvalServer(env, num_episodes=3)
+    server_metrics = {}
+
+    def run_server():
+        server_metrics.update(server.serve_once(max_steps_per_episode=40))
+
+    t = threading.Thread(target=run_server)
+    t.start()
+    challenge = Challenge(env, eval_remote=True)
+    client_metrics = challenge.remote_evaluate(
+        OracleAgent(), transport=SocketTransport(server.address)
+    )
+    t.join(timeout=60)
+    assert client_metrics["episode_count"] == 3.0
+    assert client_metrics["success"] == 1.0  # oracle agent always succeeds
+    assert client_metrics == server_metrics
