@@ -30,8 +30,11 @@ import time
 
 import numpy as np
 
-SCAN_STEPS = 50  # long scans amortize the tunnel's per-dispatch RPC latency
-TIMED_CALLS = 4
+SCAN_STEPS = int(os.environ.get("SS_TPU_SCAN_STEPS", "50"))
+TIMED_CALLS = int(os.environ.get("SS_TPU_TIMED_CALLS", "4"))
+SENSORS = tuple(
+    os.environ.get("SS_TPU_SENSORS", "spectrogram,depth").split(",")
+)
 # Partition block: 16384 measured fastest (32768 runs bigger four-step FFTs
 # than it saves in accumulate rounds); overridable for experiments.
 CONV_BLOCK = int(os.environ.get("SS_TPU_CONV_BLOCK", "16384"))
@@ -130,7 +133,7 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
         rir_part_fft=part_fft,
     )
     env = AudioNavEnv(
-        EnvConfig(sensors=("spectrogram", "depth")), scene, episodes, num_envs
+        EnvConfig(sensors=SENSORS), scene, episodes, num_envs
     )
     return assets, env
 

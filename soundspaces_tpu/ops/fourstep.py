@@ -48,7 +48,10 @@ def _cmatmul(ar, ai, br, bi, precision):
     return dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse", "precision"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n1", "n2", "inverse", "precision", "out_second_half"),
+)
 def fft_fourstep(
     xr: jax.Array,  # [B, N] real part
     xi: jax.Array,  # [B, N] imag part
@@ -56,12 +59,21 @@ def fft_fourstep(
     n2: int = 128,
     inverse: bool = False,
     precision=jax.lax.Precision.HIGH,
+    out_second_half: bool = False,
 ):
     """Complex FFT/iFFT of size N = n1*n2 along the last axis.
-    Returns (re, im). The inverse includes the 1/N factor."""
+    Returns (re, im). The inverse includes the 1/N factor.
+
+    out_second_half: return only output indices [N/2, N) — the overlap-save
+    keep region. Output index j = k2*n1 + k1, so j >= N/2 <=> k2 >= n2/2:
+    the step-3 DFT contracts with only the upper half of F2's columns,
+    halving its matmul FLOPs and the output write."""
     b, n = xr.shape
     assert n == n1 * n2
     (f1r, f1i), (f2r, f2i), (twr, twi) = _dft_matrices(n1, n2, inverse)
+    if out_second_half:
+        assert n2 % 2 == 0
+        f2r, f2i = f2r[:, n2 // 2 :], f2i[:, n2 // 2 :]
 
     # view as [B, n1, n2]: x[a, b] = x[a*n2 + b]
     xr_ = xr.reshape(b, n1, n2)
@@ -89,8 +101,9 @@ def fft_fourstep(
     )
 
     # step 4: output index X[k2*n1 + k1] = w[k1, k2] -> transpose
-    outr = jnp.swapaxes(wr, 1, 2).reshape(b, n)
-    outi = jnp.swapaxes(wi, 1, 2).reshape(b, n)
+    out_n = n // 2 if out_second_half else n
+    outr = jnp.swapaxes(wr, 1, 2).reshape(b, out_n)
+    outi = jnp.swapaxes(wi, 1, 2).reshape(b, out_n)
     if inverse:
         outr = outr / n
         outi = outi / n
@@ -129,16 +142,21 @@ def rfft_fourstep(
     return out_r, out_i
 
 
-@functools.partial(jax.jit, static_argnames=("n", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("n", "precision", "second_half_only")
+)
 def irfft_pairs_fourstep(
     specr: jax.Array,  # [B, F] real part of rFFT half-spectra, F = n//2+1
     speci: jax.Array,  # [B, F]
     n: int,
     precision=jax.lax.Precision.HIGH,
+    second_half_only: bool = False,
 ):
     """Batched inverse real FFT via Hermitian pair packing: consecutive rows
     (2j, 2j+1) share one complex inverse transform. B must be even.
-    Returns [B, n] float32 == jnp.fft.irfft(spec, n)."""
+    Returns [B, n] float32 == jnp.fft.irfft(spec, n) — or its [n/2, n)
+    slice when second_half_only (the overlap-save keep region; halves the
+    final DFT stage)."""
     b, f = specr.shape
     assert b % 2 == 0 and f == n // 2 + 1
     # rebuild full spectra: X[n-k] = conj(X[k])
@@ -154,7 +172,9 @@ def irfft_pairs_fourstep(
     n1 = 1 << ((n - 1).bit_length() + 1) // 2
     n2 = n // n1
     outr, outi = fft_fourstep(zr, zi, n1, n2, inverse=True,
-                              precision=precision)
+                              precision=precision,
+                              out_second_half=second_half_only)
     # a = Re z, b = Im z  (exact because a and b are real signals)
-    out = jnp.stack([outr, outi], axis=1).reshape(b, n)
+    out_n = n // 2 if second_half_only else n
+    out = jnp.stack([outr, outi], axis=1).reshape(b, out_n)
     return out

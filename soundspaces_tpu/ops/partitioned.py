@@ -192,7 +192,10 @@ def partitioned_windowed_convolve_fft(
     if use_fourstep and (t_out * c) % 2 == 0 and 2 * b >= 2048:
         from soundspaces_tpu.ops.fourstep import irfft_pairs_fourstep
 
-        y = irfft_pairs_fourstep(acc.real, acc.imag, 2 * b)[:, b:]
+        # overlap-save keeps only samples [b, 2b): compute just that half
+        y = irfft_pairs_fourstep(
+            acc.real, acc.imag, 2 * b, second_half_only=True
+        )
     else:
         y = jnp.fft.irfft(acc, n=2 * b)[:, b:]
     y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)

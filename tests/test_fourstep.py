@@ -87,3 +87,19 @@ def test_partitioned_large_block_matches_reference(rng):
     h = device_rir_partition_ffts(jnp.asarray(rir.T), block)
     got = np.asarray(partitioned_windowed_convolve_fft(seg, h, sr, block))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_irfft_second_half_only(rng):
+    """second_half_only returns exactly irfft(spec)[:, n/2:]."""
+    b, n = 4, 16384
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    spec = np.fft.rfft(x).astype(np.complex64)
+    full = irfft_pairs_fourstep(jnp.asarray(spec.real), jnp.asarray(spec.imag), n)
+    half = irfft_pairs_fourstep(
+        jnp.asarray(spec.real), jnp.asarray(spec.imag), n,
+        second_half_only=True,
+    )
+    assert half.shape == (b, n // 2)
+    np.testing.assert_allclose(np.asarray(half), np.asarray(full)[:, n // 2:],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(half), x[:, n // 2:], atol=2e-4)
