@@ -110,6 +110,52 @@ def fft_fourstep(
     return outr, outi
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n", "precision", "second_half_only")
+)
+def irfft_halfcomplex_fourstep(
+    specr: jax.Array,  # [B, F] real part of rFFT half-spectra, F = n//2+1
+    speci: jax.Array,  # [B, F]
+    n: int,
+    precision=jax.lax.Precision.HIGH,
+    second_half_only: bool = False,
+):
+    """Inverse real FFT via the half-size complex transform: the Hermitian
+    spectrum folds into an n/2-point complex iFFT (E + iO split), so no
+    full-spectrum concat is materialized and the transform length halves —
+    the classic real-FFT packing, run as four-step matmuls. Works for any
+    batch size (no pair packing). Returns [B, n] float32, or its [n/2, n)
+    slice when second_half_only."""
+    b, f = specr.shape
+    assert f == n // 2 + 1 and n % 4 == 0
+    half = n // 2
+    xr_k, xi_k = specr[:, :half], speci[:, :half]
+    # X[n/2 - k] for k = 0..half-1  (pure reverse of columns 1..half)
+    xr_nk = specr[:, half:0:-1]
+    xi_nk = speci[:, half:0:-1]
+    # E = (X[k] + conj(X[n/2-k]))/2 : spectrum of the even samples
+    er = 0.5 * (xr_k + xr_nk)
+    ei = 0.5 * (xi_k - xi_nk)
+    # O = e^{+2pi i k/n} (X[k] - conj(X[n/2-k]))/2 : odd samples' spectrum
+    dr = 0.5 * (xr_k - xr_nk)
+    di = 0.5 * (xi_k + xi_nk)
+    ang = 2.0 * np.pi * np.arange(half) / n
+    cr = jnp.asarray(np.cos(ang), specr.dtype)[None]
+    ci = jnp.asarray(np.sin(ang), specr.dtype)[None]
+    o_r = cr * dr - ci * di
+    o_i = cr * di + ci * dr
+    # Z = E + iO; z = ifft_{n/2}(Z) = even + i*odd
+    zr = er - o_i
+    zi = ei + o_r
+    n1 = 1 << ((half - 1).bit_length() + 1) // 2
+    n2 = half // n1
+    outr, outi = fft_fourstep(zr, zi, n1, n2, inverse=True,
+                              precision=precision,
+                              out_second_half=second_half_only)
+    out_n = half if second_half_only else n
+    return jnp.stack([outr, outi], axis=-1).reshape(b, out_n)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "precision"))
 def rfft_fourstep(
     x: jax.Array,  # [B, m] real, m <= n

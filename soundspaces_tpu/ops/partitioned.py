@@ -189,11 +189,12 @@ def partitioned_windowed_convolve_fft(
         acc = acc + (s[:, None, :] * rir_fft[None, :, pi, :]).reshape(
             t_out * c, f
         )
-    if use_fourstep and (t_out * c) % 2 == 0 and 2 * b >= 2048:
-        from soundspaces_tpu.ops.fourstep import irfft_pairs_fourstep
+    if use_fourstep and 2 * b >= 2048:
+        from soundspaces_tpu.ops.fourstep import irfft_halfcomplex_fourstep
 
-        # overlap-save keeps only samples [b, 2b): compute just that half
-        y = irfft_pairs_fourstep(
+        # half-size complex transform (no full-spectrum concat) computing
+        # only the overlap-save keep region [b, 2b)
+        y = irfft_halfcomplex_fourstep(
             acc.real, acc.imag, 2 * b, second_half_only=True
         )
     else:

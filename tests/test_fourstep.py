@@ -103,3 +103,21 @@ def test_irfft_second_half_only(rng):
     np.testing.assert_allclose(np.asarray(half), np.asarray(full)[:, n // 2:],
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(half), x[:, n // 2:], atol=2e-4)
+
+
+def test_irfft_halfcomplex_matches_numpy(rng):
+    """Half-size complex-iFFT realization of irfft (odd batch allowed)."""
+    from soundspaces_tpu.ops.fourstep import irfft_halfcomplex_fourstep
+
+    for b, n in [(3, 8192), (6, 32768)]:
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        spec = np.fft.rfft(x).astype(np.complex64)
+        full = irfft_halfcomplex_fourstep(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), n
+        )
+        np.testing.assert_allclose(np.asarray(full), x, atol=3e-4)
+        half = irfft_halfcomplex_fourstep(
+            jnp.asarray(spec.real), jnp.asarray(spec.imag), n,
+            second_half_only=True,
+        )
+        np.testing.assert_allclose(np.asarray(half), x[:, n // 2:], atol=3e-4)
