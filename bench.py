@@ -33,11 +33,17 @@ import numpy as np
 SCAN_STEPS = int(os.environ.get("SS_TPU_SCAN_STEPS", "50"))
 TIMED_CALLS = int(os.environ.get("SS_TPU_TIMED_CALLS", "4"))
 SENSORS = tuple(
-    os.environ.get("SS_TPU_SENSORS", "spectrogram,depth").split(",")
-)
+    s.strip()
+    for s in os.environ.get("SS_TPU_SENSORS", "spectrogram,depth").split(",")
+    if s.strip()
+) or ("spectrogram", "depth")
 # Partition block: 16384 measured fastest (32768 runs bigger four-step FFTs
 # than it saves in accumulate rounds); overridable for experiments.
 CONV_BLOCK = int(os.environ.get("SS_TPU_CONV_BLOCK", "16384"))
+assert CONV_BLOCK & (CONV_BLOCK - 1) == 0, (
+    f"SS_TPU_CONV_BLOCK={CONV_BLOCK} must be a power of two "
+    "(the four-step FFT factorizes 2B = n1*n2)"
+)
 
 # (num_envs, sampling_rate, rir_len, num_nodes)
 LADDER = [

@@ -60,7 +60,11 @@ struct Grid {
     return occ[gz * w + gx] != 0;
   }
   bool walkable_at(float x, float z, float cell) const {
-    return walkable((int)std::floor(z / cell), (int)std::floor(x / cell));
+    // round(), matching how occupancy_from_graph assigns nodes to cells
+    // (cell = round((x - x0)/g)); floor() would misread walkable poses up
+    // to half a cell below the grid origin as walls and drop their
+    // direct path in continuous-pose tracing
+    return walkable((int)std::lround(z / cell), (int)std::lround(x / cell));
   }
 };
 

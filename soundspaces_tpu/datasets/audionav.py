@@ -148,10 +148,12 @@ def episodes_to_bank(
     # the CONTINUOUS +0.1 height nudge, audionav_dataset.py:160-162, is a
     # mesh-snapping artifact with no graph equivalent)
     vp_lists: list[list[int]] = []
-    pts_xz = graph.points[:, [0, 2]]
 
     def nearest_node(pos) -> int:
-        d = np.hypot(pts_xz[:, 0] - pos[0], pts_xz[:, 1] - pos[2])
+        # full 3-D distance: xz-only matching would snap a view point to the
+        # node directly below/above it on another floor of a multi-story
+        # scene and grant success on the wrong floor
+        d = np.linalg.norm(graph.points - np.asarray(pos, np.float32), axis=1)
         return int(np.argmin(d))
 
     for i, ep in enumerate(episodes):

@@ -73,9 +73,6 @@ class ContinuousEnvState:
     sample_index: jax.Array  # i32 cursor into the source sound
     prev_node: jax.Array  # last step's RIR indices (for crossfade)
     prev_az: jax.Array
-    prev_x: jax.Array  # last step's continuous pose (tracer-mode crossfade)
-    prev_z: jax.Array
-    prev_heading: jax.Array
     step_count: jax.Array
     start_geodesic: jax.Array
     prev_geodesic: jax.Array
@@ -83,6 +80,10 @@ class ContinuousEnvState:
     collided: jax.Array
     ep_ptr: jax.Array
     rng: jax.Array
+    # tracer mode only (None in bank mode): the current pose's traced RIR
+    # and the previous step's, so crossfade never re-traces a pose
+    rir: jax.Array | None = None
+    prev_rir: jax.Array | None = None
 
 
 class ContinuousAudioNavEnv:
@@ -155,7 +156,14 @@ class ContinuousAudioNavEnv:
         sample0 = jax.random.randint(
             sub2, (), 0, sound_len * scene.sampling_rate
         )
+        zero_rir = (
+            jnp.zeros((2, scene.rir_max_len), jnp.float32)
+            if self.config.rir_source == "tracer"
+            else None
+        )
         return ContinuousEnvState(
+            rir=zero_rir,
+            prev_rir=zero_rir,
             x=scene.points[node, 0],
             z=scene.points[node, 2],
             heading=heading,
@@ -165,9 +173,6 @@ class ContinuousAudioNavEnv:
             sample_index=sample0,
             prev_node=node,
             prev_az=self._az_idx(heading),
-            prev_x=scene.points[node, 0],
-            prev_z=scene.points[node, 2],
-            prev_heading=heading,
             step_count=jnp.int32(0),
             start_geodesic=geo,
             prev_geodesic=geo,
@@ -190,6 +195,11 @@ class ContinuousAudioNavEnv:
 
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(scene, episodes, rng, env_id)
+        if self.config.rir_source == "tracer":
+            rir = self._traced_rir(
+                scene, state.x, state.z, state.heading, state.goal_node
+            )
+            state = state.replace(rir=rir, prev_rir=rir)
         return state, self._observe(scene, state)
 
     def _step_one(self, scene, episodes, state, action):
@@ -245,9 +255,6 @@ class ContinuousAudioNavEnv:
             sample_index=(state.sample_index + num_sample) % sound_samples,
             prev_node=self._nearest_node(scene, state.x, state.z),
             prev_az=self._az_idx(state.heading),
-            prev_x=state.x,
-            prev_z=state.z,
-            prev_heading=state.heading,
             step_count=step_count,
             prev_geodesic=geo,
             path_length=path_length,
@@ -255,6 +262,16 @@ class ContinuousAudioNavEnv:
         )
         fresh = self._load_episode(scene, episodes, state.rng, state.ep_ptr)
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, continued)
+        if self.config.rir_source == "tracer":
+            # trace the merged pose ONCE; the previous pose's RIR is carried
+            # (on reset, prev = current so the crossfade is a no-op)
+            rir = self._traced_rir(
+                scene, new_state.x, new_state.z, new_state.heading,
+                new_state.goal_node,
+            )
+            new_state = new_state.replace(
+                rir=rir, prev_rir=jnp.where(done, rir, state.rir)
+            )
         return new_state, self._observe(scene, new_state), reward, done, info
 
     # -------------------------------------------------------------- sensors
@@ -283,9 +300,7 @@ class ContinuousAudioNavEnv:
             host, shape, recv, src, vmap_method="broadcast_all"
         )
 
-    def _rir_at(self, scene, state, node, az, x, z, heading):
-        if self.config.rir_source == "tracer":
-            return self._traced_rir(scene, x, z, heading, state.goal_node)
+    def _bank_rir(self, scene, state, node, az):
         rir = scene.rir[az, node, state.goal_slot]
         if rir.dtype != jnp.float32:
             rir = rir.astype(jnp.float32)
@@ -313,13 +328,17 @@ class ContinuousAudioNavEnv:
         cfg = self.config
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
-        rir = self._rir_at(scene, state, node, az, state.x, state.z,
-                           state.heading)
+        if cfg.rir_source == "tracer":
+            rir = state.rir
+        else:
+            rir = self._bank_rir(scene, state, node, az)
         audio = self._render_audio(scene, state, rir)
         if cfg.use_crossfade:
-            prev_rir = self._rir_at(
-                scene, state, state.prev_node, state.prev_az,
-                state.prev_x, state.prev_z, state.prev_heading,
+            prev_rir = (
+                state.prev_rir
+                if cfg.rir_source == "tracer"
+                else self._bank_rir(scene, state, state.prev_node,
+                                    state.prev_az)
             )
             prev_audio = self._render_audio(scene, state, prev_rir)
             audio = crossfade(prev_audio, audio, scene.sampling_rate)

@@ -202,7 +202,11 @@ def irfft_pairs_fourstep(
     (2j, 2j+1) share one complex inverse transform. B must be even.
     Returns [B, n] float32 == jnp.fft.irfft(spec, n) — or its [n/2, n)
     slice when second_half_only (the overlap-save keep region; halves the
-    final DFT stage)."""
+    final DFT stage).
+
+    NOTE: the production convolution uses irfft_halfcomplex_fourstep (no
+    full-spectrum concat — measured faster); this realization is kept as a
+    reference/benchmark alternative."""
     b, f = specr.shape
     assert b % 2 == 0 and f == n // 2 + 1
     # rebuild full spectra: X[n-k] = conj(X[k])

@@ -92,7 +92,12 @@ def main(argv=None):
                 resume_from=resume,
             )
     elif args.run_type == "eval":
-        if args.poll and not is_savi:
+        if args.poll and is_savi:
+            raise NotImplementedError(
+                "--poll is not wired for the SAVi trainer yet; run "
+                "--run-type eval per checkpoint instead"
+            )
+        if args.poll:
             results = trainer.eval(
                 eval_interval=args.eval_interval,
                 prev_ckpt_ind=args.prev_ckpt_ind,

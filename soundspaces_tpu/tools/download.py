@@ -41,17 +41,38 @@ def missing_urls(
     return out
 
 
-def download_and_unpack(url: str, output_dir: str) -> str:
-    """Fetch one tarball and extract it under output_dir."""
+def download_and_unpack(
+    url: str, output_dir: str, dataset: str, rir_type: str
+) -> str:
+    """Fetch one scene tarball and place its contents at
+    output_dir/rir_type/dataset/scene — the location missing_urls checks
+    and the scene loaders read — regardless of whether the tarball embeds
+    the full prefix or just the scene directory."""
+    import shutil
+    import tempfile
+
     name = os.path.basename(url)
-    tar_path = os.path.join(output_dir, name)
+    scene = name[: -len(".tar.gz")]
+    target = os.path.join(output_dir, rir_type, dataset, scene)
     os.makedirs(output_dir, exist_ok=True)
+    tar_path = os.path.join(output_dir, name)
     if not os.path.exists(tar_path):
         urllib.request.urlretrieve(url, tar_path)
-    with tarfile.open(tar_path, "r:gz") as tf:
-        tf.extractall(output_dir, filter="data")
+    with tempfile.TemporaryDirectory(dir=output_dir) as tmp:
+        with tarfile.open(tar_path, "r:gz") as tf:
+            tf.extractall(tmp, filter="data")
+        # locate the scene directory wherever the archive put it
+        src = None
+        for root, dirs, _files in os.walk(tmp):
+            if os.path.basename(root) == scene:
+                src = root
+                break
+        if src is None:
+            raise RuntimeError(f"{name}: no '{scene}/' directory in archive")
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        shutil.move(src, target)
     os.remove(tar_path)
-    return output_dir
+    return target
 
 
 def main(argv=None):
@@ -74,7 +95,7 @@ def main(argv=None):
         return todo
     for url in todo:
         print(f"downloading {url} ...")
-        download_and_unpack(url, args.output_dir)
+        download_and_unpack(url, args.output_dir, args.dataset, args.rir_type)
     return todo
 
 

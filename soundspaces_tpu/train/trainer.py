@@ -464,9 +464,14 @@ def latest_checkpoint(folder: str) -> str | None:
 
 
 def _list_checkpoints(folder: str) -> list[str]:
+    import re
+
     if not os.path.isdir(folder):
         return []
-    cands = [f for f in os.listdir(folder) if f.startswith("ckpt.")]
+    # strictly ckpt.<int> — orbax writes 'ckpt.N.orbax-checkpoint-tmp-*'
+    # in-progress dirs that must never be picked up by a concurrent
+    # polling eval (they vanish on rename)
+    cands = [f for f in os.listdir(folder) if re.fullmatch(r"ckpt\.\d+", f)]
     cands.sort(key=lambda f: int(f.split(".")[1]))
     return [os.path.join(folder, f) for f in cands]
 

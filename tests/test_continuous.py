@@ -156,9 +156,9 @@ def test_tracer_mode_per_step_rir():
     assert ag.shape == (2, 2, sr) and np.isfinite(ag).all()
     assert (np.abs(ag).max(axis=(1, 2)) > 0).all()
 
-    # walk env 0 toward the goal with a greedy controller; audio energy at
-    # the end (near source) should exceed energy at the start (far away)
-    rms0 = float(np.sqrt((ag[0] ** 2).mean()))
+    # walk env 0 toward the goal with a greedy controller (exercises the
+    # per-step tracing callback through jit/vmap)
+    rho_start = float(np.asarray(obs["pointgoal_with_gps_compass"])[0, 0])
     for _ in range(40):
         pg = np.asarray(obs["pointgoal_with_gps_compass"])
         acts = []
@@ -171,6 +171,23 @@ def test_tracer_mode_per_step_rir():
         state, obs, _, done, _ = env.step(state, jnp.asarray(acts))
         if float(np.asarray(obs["pointgoal_with_gps_compass"])[0, 0]) < 0.6:
             break
-    ag1 = np.asarray(obs["audiogoal"])
-    rms1 = float(np.sqrt((ag1[0] ** 2).mean()))
-    assert rms1 > rms0, (rms0, rms1)
+    rho_end = float(np.asarray(obs["pointgoal_with_gps_compass"])[0, 0])
+    assert rho_end < rho_start  # controller actually approached the source
+
+    # physics check without the source's amplitude-modulation confound:
+    # the traced RIR itself carries more energy near the source (1/r direct
+    # + stronger early field)
+    g = np.asarray(scene.points)
+    goal = int(np.asarray(state.goal_node)[0])
+    src = np.array([[g[goal, 0], g[goal, 2]]], np.float32)
+    near = np.array(
+        [[float(np.asarray(state.x)[0]), float(np.asarray(state.z)[0]), 0.0]],
+        np.float32,
+    )
+    d = np.hypot(g[:, 0] - g[goal, 0], g[:, 2] - g[goal, 2])
+    far_node = int(np.argmax(d))  # walkable node farthest from the source
+    far = near.copy()
+    far[0, :2] = [g[far_node, 0], g[far_node, 2]]
+    e_near = float((tracer(near, src) ** 2).sum())
+    e_far = float((tracer(far, src) ** 2).sum())
+    assert e_near > e_far, (e_near, e_far)

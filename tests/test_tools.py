@@ -121,3 +121,39 @@ def test_download_manifest(tmp_path, capsys):
         "--output-dir", str(tmp_path / "data"), "--dataset", "replica",
     ])
     assert out == todo
+
+
+def test_download_unpack_places_scene(tmp_path):
+    """Tarballs land at output_dir/rir_type/dataset/scene whether the
+    archive embeds the full prefix or just the scene directory."""
+    import io
+    import os
+    import tarfile
+
+    from soundspaces_tpu.tools.download import download_and_unpack, missing_urls
+
+    def make_tar(path, member_dir):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with tarfile.open(path, "w:gz") as tf:
+            data = b"rir"
+            info = tarfile.TarInfo(f"{member_dir}/0/0_1.wav")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    out = tmp_path / "data"
+    # scene-only layout
+    make_tar(str(out / "apartment_0.tar.gz"), "apartment_0")
+    download_and_unpack("file://ignored/apartment_0.tar.gz", str(out),
+                        "replica", "binaural_rirs")
+    assert (out / "binaural_rirs" / "replica" / "apartment_0" / "0" /
+            "0_1.wav").exists()
+    # full-prefix layout
+    make_tar(str(out / "office_1.tar.gz"), "binaural_rirs/replica/office_1")
+    download_and_unpack("file://ignored/office_1.tar.gz", str(out),
+                        "replica", "binaural_rirs")
+    assert (out / "binaural_rirs" / "replica" / "office_1" / "0" /
+            "0_1.wav").exists()
+    # skip-existing now agrees with where files were placed
+    urls = ["http://x/binaural_rirs/replica/apartment_0.tar.gz",
+            "http://x/binaural_rirs/replica/office_1.tar.gz"]
+    assert missing_urls(urls, str(out), "replica", "binaural_rirs") == []

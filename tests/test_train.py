@@ -194,3 +194,19 @@ def test_profile_mode_phase_timers(small_world):
     m = logs[-1]
     assert m["env_time"] > 0 and m["pth_time"] > 0
     assert np.isfinite(m["reward"])
+
+
+def test_checkpoint_listing_skips_orbax_tmp(tmp_path):
+    """In-progress orbax temp dirs must never be returned to a concurrent
+    polling eval (they vanish on rename-commit)."""
+    import os
+
+    from soundspaces_tpu.train.trainer import (
+        latest_checkpoint,
+        poll_checkpoint_folder,
+    )
+
+    os.makedirs(tmp_path / "ckpt.1")
+    os.makedirs(tmp_path / "ckpt.2.orbax-checkpoint-tmp-1723801")
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt.1")
+    assert poll_checkpoint_folder(str(tmp_path), 0) is None
