@@ -86,10 +86,14 @@ class BeliefPredictor:
         return mse + ce, {"belief_mse": mse, "belief_ce": ce}
 
     def update(self, params, opt_state, spectrogram, gt_location, gt_category,
-               audible_mask):
+               audible_mask, axis_name=None):
         (loss, aux), grads = jax.value_and_grad(self.loss, has_aux=True)(
             params, spectrogram, gt_location, gt_category, audible_mask
         )
+        if axis_name is not None:
+            # the reference DDP-wraps the predictor so its grads all-reduce
+            # like the policy's (savi/models/belief_predictor.py:19-52)
+            grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux

@@ -388,7 +388,8 @@ class SAViTrainer:
                     jnp.abs(spec).sum(axis=(1, 2, 3)) > 1e-6
                 )
                 bparams, bopt, baux = self.belief.update(
-                    bparams, bopt, spec, gt_xy, gt_cat, audible
+                    bparams, bopt, spec, gt_xy, gt_cat, audible,
+                    axis_name=axis_name,
                 )
                 metrics.update(baux)
 

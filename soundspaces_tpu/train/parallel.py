@@ -86,3 +86,38 @@ def data_parallel_step(mesh: Mesh, step_fn: Callable, num_envs: int):
         )(params, opt_state, carry, rng, *rest)
 
     return wrapped
+
+
+def savi_data_parallel_step(mesh: Mesh, step_fn: Callable, num_envs: int):
+    """SAVi variant of data_parallel_step: the step also carries the belief
+    predictor's params/optimizer (the reference's BeliefPredictorDDP,
+    savi/ddppo/algo/ddppo_trainer.py:90-97) —
+    `step_fn(params, opt_state, bparams, bopt, carry, rng, *rest) ->
+    (params, opt_state, bparams, bopt, carry, metrics)`. The SMT external
+    memory shards with the env axis (its buffers are [N, M, dim])."""
+    from jax.experimental.shard_map import shard_map
+
+    def spec_for_carry(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs:
+            return P(DP_AXIS, *([None] * (x.ndim - 1)))
+        return P()
+
+    def sharded_fn(params, opt_state, bparams, bopt, carry, rng, *rest):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+        carry = carry.replace(
+            rng=jax.random.fold_in(carry.rng, jax.lax.axis_index(DP_AXIS))
+        )
+        return step_fn(params, opt_state, bparams, bopt, carry, rng, *rest)
+
+    def wrapped(params, opt_state, bparams, bopt, carry, rng, *rest):
+        carry_specs = jax.tree.map(spec_for_carry, carry)
+        in_specs = (P(), P(), P(), P(), carry_specs, P()) + tuple(
+            P() for _ in rest
+        )
+        out_specs = (P(), P(), P(), P(), carry_specs, P())
+        return shard_map(
+            sharded_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )(params, opt_state, bparams, bopt, carry, rng, *rest)
+
+    return wrapped

@@ -150,3 +150,59 @@ def test_trainer_train_with_mesh(dp_setup, tmp_path):
     mesh_trainer.train(jax.random.PRNGKey(9), num_updates=2,
                        log_fn=lambda u, m: logs.append(m))
     assert logs and np.isfinite(logs[-1]["reward"])
+
+
+def test_savi_dp_train_step():
+    """SAVi's full step (SMT memory + belief predictor) under shard_map over
+    the 8-device mesh: belief + policy grads pmean across shards
+    (BeliefPredictorDDP role, savi/ddppo/algo/ddppo_trainer.py:90-97)."""
+    from soundspaces_tpu.savi.trainer import SAViConfig, SAViTrainer
+    from soundspaces_tpu.train.parallel import savi_data_parallel_step
+
+    n_dev = len(jax.devices())
+    num_envs = 2 * n_dev
+    assets = make_synthetic_assets(
+        num_nodes_hint=24, sampling_rate=4000, rir_max_len=800, image_size=16,
+        num_sounds=2, max_secs=2, seed=61,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 64, seed=62, min_geodesic_hops=2)
+    env = AudioNavEnv(
+        EnvConfig(
+            sensors=("spectrogram", "depth", "pose", "category",
+                     "pointgoal_with_gps_compass"),
+            max_episode_steps=10,
+        ),
+        scene, episodes, num_envs=num_envs,
+    )
+    trainer = SAViTrainer(
+        env,
+        PPOConfig(num_steps=3, ppo_epoch=1, num_mini_batch=1),
+        SAViConfig(memory_size=6, hidden_size=32, nhead=4),
+    )
+    params, opt_state, bparams, bopt, carry = trainer.init_state(
+        jax.random.PRNGKey(0)
+    )
+    mesh = make_mesh()
+    params, opt_state = replicate(mesh, params), replicate(mesh, opt_state)
+    bparams, bopt = replicate(mesh, bparams), replicate(mesh, bopt)
+    carry = shard_batch_env_axis(mesh, carry, num_envs)
+    step = jax.jit(savi_data_parallel_step(
+        mesh, trainer.make_train_step(axis_name=DP_AXIS), num_envs
+    ))
+    p2, o2, b2, bo2, carry2, metrics = step(
+        params, opt_state, bparams, bopt, carry, jax.random.PRNGKey(1),
+        jnp.float32(0.1), env.scene, env.episodes,
+    )
+    m = jax.device_get(metrics)
+    for k in ("action_loss", "value_loss", "reward", "belief_mse"):
+        assert np.isfinite(m[k]), (k, m[k])
+    pdiff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p2),
+    )
+    bdiff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), bparams, b2),
+    )
+    assert pdiff > 0 and bdiff > 0
