@@ -197,15 +197,15 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
 
         env = build_waypoint_env(cfg, assets)
         eval_env = build_waypoint_env(cfg, assets, sequential=True)
-        return AVWanTrainer(
+        trainer = AVWanTrainer(
             cfg.trainer, cfg.ppo, env, eval_env=eval_env,
             use_gm=cfg.avwan.use_gm, use_am=cfg.avwan.use_am,
         )
-    env = build_env(cfg, assets)
-    if cfg.trainer_name == "savi":
+    elif cfg.trainer_name == "savi":
         from soundspaces_tpu.savi.trainer import SAViConfig, SAViTrainer
 
-        return SAViTrainer(
+        env = build_env(cfg, assets)
+        trainer = SAViTrainer(
             env,
             cfg.ppo,
             SAViConfig(
@@ -217,8 +217,15 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
                 belief_lr=cfg.smt.belief_lr,
             ),
         )
-    trainer_cls = registry.get_trainer(cfg.trainer_name)
-    eval_env = build_env(
-        cfg, assets, num_envs=cfg.trainer.num_envs, sequential=True
-    )
-    return trainer_cls(cfg.trainer, cfg.ppo, env, eval_env=eval_env, mesh=mesh)
+    else:
+        env = build_env(cfg, assets)
+        trainer_cls = registry.get_trainer(cfg.trainer_name)
+        eval_env = build_env(
+            cfg, assets, num_envs=cfg.trainer.num_envs, sequential=True
+        )
+        trainer = trainer_cls(
+            cfg.trainer, cfg.ppo, env, eval_env=eval_env, mesh=mesh
+        )
+    # checkpoints carry the experiment config for eval-time re-merge
+    trainer.experiment_config = cfg
+    return trainer

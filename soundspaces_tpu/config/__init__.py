@@ -3,6 +3,8 @@ from soundspaces_tpu.config.experiment import (
     EvalConfig,
     ExperimentConfig,
     get_config,
+    get_overrides,
+    merge_config,
 )
 
-__all__ = ["DataConfig", "EvalConfig", "ExperimentConfig", "get_config"]
+__all__ = ["DataConfig", "EvalConfig", "ExperimentConfig", "get_config", "get_overrides", "merge_config"]

@@ -157,10 +157,21 @@ def get_config(
 ) -> ExperimentConfig:
     """Build the config tree: defaults <- yaml <- "a.b=c" opt pairs."""
     cfg = ExperimentConfig()
+    for node in get_overrides(yaml_path, opts):
+        cfg = _merge(cfg, node)
+    return cfg
+
+
+def get_overrides(
+    yaml_path: str | None = None, opts: list[str] | None = None
+) -> list[dict]:
+    """The yaml + CLI override dicts in application order, WITHOUT defaults
+    — so eval can re-apply them on top of a checkpoint's stored config (the
+    reference's CMD_TRAILING_OPTS re-merge, base_trainer.py:124-157)."""
+    nodes: list[dict] = []
     if yaml_path:
         with open(yaml_path) as f:
-            data = yaml.safe_load(f) or {}
-        cfg = _merge(cfg, data)
+            nodes.append(yaml.safe_load(f) or {})
     for opt in opts or []:
         key, _, raw = opt.partition("=")
         assert raw, f"opt {opt!r} must look like a.b.c=value"
@@ -171,5 +182,10 @@ def get_config(
             leaf[p] = {}
             leaf = leaf[p]
         leaf[parts[-1]] = _parse_opt_value(raw.strip())
-        cfg = _merge(cfg, node)
-    return cfg
+        nodes.append(node)
+    return nodes
+
+
+def merge_config(cfg: ExperimentConfig, updates: dict) -> ExperimentConfig:
+    """Public recursive merge (checkpoint-config restore path)."""
+    return _merge(cfg, updates)

@@ -51,19 +51,42 @@ def main(argv=None):
     from soundspaces_tpu import trainers  # noqa: F401  (registry side effects)
     from soundspaces_tpu.builder import build_trainer
     from soundspaces_tpu.config import get_config
-    from soundspaces_tpu.train.trainer import latest_checkpoint
+    from soundspaces_tpu.train.trainer import checkpoint_config, latest_checkpoint
 
-    cfg = get_config(args.exp_config, args.opts)
-    if args.model_dir:
-        cfg = dataclasses.replace(
-            cfg,
-            model_dir=args.model_dir,
-            trainer=dataclasses.replace(
-                cfg.trainer,
-                checkpoint_folder=os.path.join(args.model_dir, "ckpts"),
-            ),
-        )
+    def apply_model_dir(cfg):
+        if args.model_dir:
+            cfg = dataclasses.replace(
+                cfg,
+                model_dir=args.model_dir,
+                trainer=dataclasses.replace(
+                    cfg.trainer,
+                    checkpoint_folder=os.path.join(args.model_dir, "ckpts"),
+                ),
+            )
+        return cfg
+
+    cfg = apply_model_dir(get_config(args.exp_config, args.opts))
     os.makedirs(cfg.model_dir, exist_ok=True)
+
+    if args.run_type == "eval" and not args.poll:
+        # eval-config merge precedence (base_trainer.py:124-157): start from
+        # the checkpoint's stored experiment config, then re-apply the eval
+        # yaml and CLI opts on top
+        probe = args.eval_checkpoint or latest_checkpoint(
+            cfg.trainer.checkpoint_folder
+        )
+        stored = checkpoint_config(probe) if probe else None
+        if stored:
+            from soundspaces_tpu.config import (
+                ExperimentConfig,
+                get_overrides,
+                merge_config,
+            )
+
+            cfg = merge_config(ExperimentConfig(), stored)
+            for node in get_overrides(args.exp_config, args.opts):
+                cfg = merge_config(cfg, node)
+            cfg = apply_model_dir(cfg)
 
     trainer = build_trainer(cfg)
     log_path = os.path.join(cfg.model_dir, "train.log")

@@ -430,9 +430,13 @@ class PPOTrainer:
         }
 
     # ------------------------------------------------------------ checkpoints
+    # set by the builder so checkpoints carry the full experiment config,
+    # like the reference's ckpt dicts carry theirs (ppo_trainer.py:91-106)
+    experiment_config = None
+
     def save_checkpoint(self, params, opt_state, update: int):
-        """ckpt.{i} with model + optimizer + step, like the reference's
-        ckpt.{i}.pth dicts (ppo_trainer.py:91-106)."""
+        """ckpt.{i} with model + optimizer + step (+ experiment config as
+        JSON when known), like the reference's ckpt.{i}.pth dicts."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(
@@ -444,6 +448,9 @@ class PPOTrainer:
             {"params": params, "opt_state": opt_state, "update": update},
             force=True,
         )
+        if self.experiment_config is not None:
+            with open(os.path.join(path, "experiment_config.json"), "w") as f:
+                json.dump(dataclasses.asdict(self.experiment_config), f)
         return path
 
     def load_checkpoint(self, path: str, params, opt_state):
@@ -461,6 +468,17 @@ def latest_checkpoint(folder: str) -> str | None:
     """Newest ckpt.{i} in a folder."""
     cands = _list_checkpoints(folder)
     return cands[-1] if cands else None
+
+
+def checkpoint_config(path: str) -> dict | None:
+    """The experiment config stored alongside a checkpoint, if any — the
+    ckpt['config'] the reference merges at eval time
+    (base_trainer.py:124-157)."""
+    p = os.path.join(path, "experiment_config.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def _list_checkpoints(folder: str) -> list[str]:

@@ -170,3 +170,35 @@ def test_cli_avwan_train_smoke(tmp_path):
     lines = [json.loads(l) for l in (model_dir / "train.log").read_text().splitlines()]
     assert lines and np.isfinite(lines[-1]["reward"])
     assert any(c.startswith("ckpt.") for c in os.listdir(model_dir / "ckpts"))
+
+
+def test_eval_restores_checkpoint_config(tmp_path):
+    """Eval rebuilds the experiment from the checkpoint's stored config and
+    re-applies CLI opts on top — the reference's eval-config merge
+    precedence (base_trainer.py:124-157). The eval here passes NO exp
+    config; the model (hidden 24) must come from the checkpoint."""
+    from soundspaces_tpu.run import main
+
+    exp = tmp_path / "exp.yaml"
+    exp.write_text(
+        "trainer:\n  num_updates: 1\n  num_envs: 2\n  log_interval: 1\n"
+        "  checkpoint_interval: 1\n"
+        "ppo:\n  num_steps: 3\n  hidden_size: 24\n  ppo_epoch: 1\n"
+        "  num_mini_batch: 1\n"
+        "env:\n  sensors: [spectrogram]\n  max_episode_steps: 8\n"
+        "data:\n  num_nodes_hint: 20\n  sampling_rate: 4000\n"
+        "  rir_max_len: 600\n  image_size: 8\n  num_episodes: 16\n"
+    )
+    model_dir = tmp_path / "run"
+    main([
+        "--run-type", "train", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+    ])
+    # eval WITHOUT the exp config: hidden_size 24 etc. restored from ckpt;
+    # CLI opt overrides the episode count on top
+    main([
+        "--run-type", "eval", "--model-dir", str(model_dir), "--force-cpu",
+        "eval.episode_count=3",
+    ])
+    stats = json.loads((model_dir / "val_stats.json").read_text())
+    assert stats["episode_count"] == 3.0
