@@ -47,6 +47,26 @@ class SMTCNN(nn.Module):
             x = observations[name]
             if name == "rgb":
                 x = x.astype(jnp.float32) / 255.0
+            elif name == "semantic_object" and x.ndim == 3:
+                # index map [B, H, W] -> channels: palette RGB + normalized
+                # task id (the reference feeds a 6-ch semantic-RGB +
+                # semantic-object stack, savi/models/smt_cnn.py)
+                from soundspaces_tpu.scene.mp3d import (
+                    NUM_TASK_CATEGORIES,
+                    semantic_palette,
+                )
+
+                pal = jnp.asarray(semantic_palette(), jnp.float32) / 255.0
+                idx = x.astype(jnp.int32)
+                x = jnp.concatenate(
+                    [
+                        pal[idx],
+                        (idx.astype(jnp.float32) / NUM_TASK_CATEGORIES)[
+                            ..., None
+                        ],
+                    ],
+                    axis=-1,
+                )
             x = _resize_center_crop(x, 64)
             feats.append(
                 _ConvStack(

@@ -193,3 +193,22 @@ def test_belief_smoothing_transform():
         first_step=jnp.asarray([True]),
     )
     np.testing.assert_allclose(np.asarray(out2), [[5.0, 5.0]], atol=1e-6)
+
+
+def test_smtcnn_consumes_semantic_index_map():
+    """SMTCNN colorizes the semantic_object index map [B, H, W] into
+    channels (the reference's 6-ch semantic stack, savi/models/smt_cnn.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.savi.policy import SMTCNN
+
+    enc = SMTCNN(feature_dim=16)
+    obs = {
+        "depth": jnp.ones((2, 16, 16, 1), jnp.float32),
+        "semantic_object": jnp.full((2, 16, 16), 3, jnp.int32),
+    }
+    params = enc.init(jax.random.PRNGKey(0), obs)
+    out = enc.apply(params, obs)
+    assert out.shape == (2, 32)  # two modalities x feature_dim
+    assert bool(jnp.isfinite(out).all())
