@@ -32,6 +32,7 @@ import numpy as np
 
 SCAN_STEPS = int(os.environ.get("SS_TPU_SCAN_STEPS", "50"))
 TIMED_CALLS = int(os.environ.get("SS_TPU_TIMED_CALLS", "4"))
+STEP_CHUNKS = int(os.environ.get("SS_TPU_STEP_CHUNKS", "2"))
 SENSORS = tuple(
     s.strip()
     for s in os.environ.get("SS_TPU_SENSORS", "spectrogram,depth").split(",")
@@ -139,7 +140,8 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
         rir_part_fft=part_fft,
     )
     env = AudioNavEnv(
-        EnvConfig(sensors=SENSORS), scene, episodes, num_envs
+        EnvConfig(sensors=SENSORS, step_chunks=STEP_CHUNKS), scene, episodes,
+        num_envs
     )
     return assets, env
 

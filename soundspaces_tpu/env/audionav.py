@@ -91,6 +91,21 @@ class AudioNavEnv:
         )
 
     def step_pure(self, scene, episodes, state, actions):
+        c = self.config.step_chunks
+        if c > 1 and actions.shape[0] % c == 0:
+            def one_chunk(args):
+                st, ac = args
+                return jax.vmap(self._step_one, in_axes=(None, None, 0, 0))(
+                    scene, episodes, st, ac
+                )
+
+            stc = jax.tree.map(
+                lambda x: x.reshape((c, -1) + x.shape[1:]), state
+            )
+            out = jax.lax.map(one_chunk, (stc, actions.reshape(c, -1)))
+            return jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), out
+            )
         return jax.vmap(self._step_one, in_axes=(None, None, 0, 0))(
             scene, episodes, state, actions
         )

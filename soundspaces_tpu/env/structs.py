@@ -48,6 +48,10 @@ class EnvConfig:
     # which action subset the task exposes (ActionSpaceConfiguration,
     # soundspaces/tasks/action_space.py): "default" or "move-all"
     action_space: str = "default"
+    # process the env batch in this many sequential chunks inside the jitted
+    # step (lax.map): large audio batches lose HBM locality — 2x128-env
+    # chunks measured ~40% faster than one 256-env batch on TPU v5e
+    step_chunks: int = 1
 
     @property
     def num_actions(self) -> int:

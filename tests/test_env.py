@@ -230,3 +230,25 @@ def test_continuous_view_change_intermediates(setup):
         np.testing.assert_allclose(
             mid[i, -1], f0[i] + 0.8 * (f1[i] - f0[i]), rtol=1e-5, atol=1e-6
         )
+
+
+def test_step_chunks_equivalent(setup):
+    """step_chunks processes the batch in lax.map chunks — bitwise-identical
+    observations and state to the unchunked vmap (a pure locality split)."""
+    assets, scene, episodes = setup
+    env1 = AudioNavEnv(EnvConfig(sensors=("spectrogram",)), scene, episodes, 4)
+    env2 = AudioNavEnv(
+        EnvConfig(sensors=("spectrogram",), step_chunks=2), scene, episodes, 4
+    )
+    s1, o1 = env1.reset(jax.random.PRNGKey(3))
+    s2, o2 = env2.reset(jax.random.PRNGKey(3))
+    for _ in range(3):
+        a = jnp.array([1, 2, 1, 3])
+        s1, o1, r1, d1, i1 = env1.step(s1, a)
+        s2, o2, r2, d2, i2 = env2.step(s2, a)
+        np.testing.assert_array_equal(np.asarray(s1.node), np.asarray(s2.node))
+        np.testing.assert_allclose(
+            np.asarray(o1["spectrogram"]), np.asarray(o2["spectrogram"]),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
