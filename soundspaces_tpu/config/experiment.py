@@ -157,8 +157,16 @@ def get_config(
 ) -> ExperimentConfig:
     """Build the config tree: defaults <- yaml <- "a.b=c" opt pairs."""
     cfg = ExperimentConfig()
+    explicit_count = False
     for node in get_overrides(yaml_path, opts):
         cfg = _merge(cfg, node)
+        explicit_count |= "episode_count" in (node.get("eval") or {})
+    # eval-split auto-config (savi/config/default.py:279-290): val -> 500
+    # episodes (the default), test -> 1000, unless explicitly set
+    if cfg.eval.split == "test" and not explicit_count:
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, episode_count=1000)
+        )
     return cfg
 
 

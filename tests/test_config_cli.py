@@ -202,3 +202,13 @@ def test_eval_restores_checkpoint_config(tmp_path):
     ])
     stats = json.loads((model_dir / "val_stats.json").read_text())
     assert stats["episode_count"] == 3.0
+
+
+def test_eval_split_auto_config(tmp_path):
+    """val -> 500 episodes (default), test -> 1000, explicit value wins
+    (savi/config/default.py:279-290)."""
+    assert get_config().eval.episode_count == 500
+    p = tmp_path / "t.yaml"
+    p.write_text("eval:\n  split: test\n")
+    assert get_config(str(p)).eval.episode_count == 1000
+    assert get_config(str(p), opts=["eval.episode_count=42"]).eval.episode_count == 42
