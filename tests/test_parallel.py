@@ -206,3 +206,35 @@ def test_savi_dp_train_step():
         jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), bparams, b2),
     )
     assert pdiff > 0 and bdiff > 0
+
+
+def test_memory_sharded_attention_exact():
+    """Attention with the SMT memory axis sharded over the 8-device mesh is
+    EXACT vs single-device full attention (the SURVEY §5 long-context
+    growth path: blockwise softmax over ICI)."""
+    from soundspaces_tpu.ops.ring_attention import (
+        memory_sharded_attention_fn,
+        sharded_memory_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    n, m, h, d = 4, 64, 4, 16  # M sharded 8 ways -> 8 per device
+    q = rng.standard_normal((n, h, d)).astype(np.float32)
+    k = rng.standard_normal((n, m, h, d)).astype(np.float32)
+    v = rng.standard_normal((n, m, h, d)).astype(np.float32)
+    mask = (rng.random((n, m)) > 0.3).astype(np.float32)
+    mask[0, :] = 0.0
+    mask[0, 5] = 1.0  # nearly-empty memory still well-defined
+
+    # reference: plain masked softmax attention
+    logits = np.einsum("nhd,nmhd->nhm", q, k) / np.sqrt(d)
+    logits = np.where(mask[:, None, :] > 0, logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = np.where(mask[:, None, :] > 0, p, 0.0)
+    want = np.einsum("nhm,nmhd->nhd", p, v) / p.sum(-1, keepdims=True)
+
+    mesh = make_mesh()
+    fn = jax.jit(memory_sharded_attention_fn(mesh, h))
+    got = np.asarray(fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
