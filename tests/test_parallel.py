@@ -212,9 +212,8 @@ def test_memory_sharded_attention_exact():
     """Attention with the SMT memory axis sharded over the 8-device mesh is
     EXACT vs single-device full attention (the SURVEY §5 long-context
     growth path: blockwise softmax over ICI)."""
-    from soundspaces_tpu.ops.ring_attention import (
+    from soundspaces_tpu.ops.sharded_attention import (
         memory_sharded_attention_fn,
-        sharded_memory_attention,
     )
 
     rng = np.random.default_rng(0)
@@ -233,8 +232,24 @@ def test_memory_sharded_attention_exact():
     p = np.where(mask[:, None, :] > 0, p, 0.0)
     want = np.einsum("nhm,nmhd->nhd", p, v) / p.sum(-1, keepdims=True)
 
-    mesh = make_mesh()
-    fn = jax.jit(memory_sharded_attention_fn(mesh, h))
+    # 2-D mesh: batch on 'dp' (unused here), memory shards on 'mem' — the
+    # composition the module documents
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "mem"))
+    fn = jax.jit(memory_sharded_attention_fn(mesh, "mem"))
     got = np.asarray(fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                         jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # differentiable end to end (the SMT trains through its attention)
+    def loss(q_, k_, v_):
+        return fn(q_, k_, v_, jnp.asarray(mask)).sum()
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for g in grads:
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).sum()) > 0
