@@ -71,7 +71,7 @@ class DeviceScene:
     rir: jax.Array  # [4, N, G, 2, L] f32
     goal_slot_of_node: jax.Array  # [N] i32
     seg_fft: jax.Array  # [S, secs, F] c64 (single-FFT conv path)
-    seg_block_fft: jax.Array  # [S, secs, K, Fb] c64 (partitioned path)
+    seg_block_fft: jax.Array  # [S, secs, K, B] c64, DC/Nyquist-packed
     sounds: jax.Array  # [S, max_samples] f32 raw waveforms (continuous mode)
     sound_lengths_sec: jax.Array  # [S] i32
     frames: dict[str, jax.Array]  # name -> [N, 4, H, W, C]

@@ -32,6 +32,81 @@ from soundspaces_tpu.ops.convolve import next_pow2
 MAX_FFT_SIZE = 32768  # axon TPU tunnel: FFTs above this hang/corrupt D2H
 
 
+# ---------------------------------------------------------------------------
+# DC/Nyquist packing.
+#
+# All partition/segment spectra in this module are stored PACKED: an rFFT
+# half-spectrum [.., 2B] real signal -> [.., B+1] complex has two purely-real
+# entries (DC and Nyquist), so it folds losslessly into [.., B] complex with
+# bin 0 = complex(X[0].re, X[B].re). The power-of-two frequency width keeps
+# bank rows aligned to the TPU's (8, 128) f32 tiles — a 16385-wide row
+# misaligns every row and measured 1.76x slower on HBM gathers of the RIR
+# partition bank at production shapes (256 envs, 44.1 kHz, block 16384).
+# ---------------------------------------------------------------------------
+
+
+def pack_spectrum_np(spec: np.ndarray) -> np.ndarray:
+    """[..., B+1] complex rFFT half-spectrum of a real signal -> packed
+    [..., B]: bin 0 carries complex(DC, Nyquist)."""
+    packed = spec[..., :-1].copy()
+    packed[..., 0] = spec[..., 0].real + 1j * spec[..., -1].real
+    return packed
+
+
+def pack_spectrum(spec: jax.Array) -> jax.Array:
+    """JAX version of pack_spectrum_np."""
+    bin0 = jax.lax.complex(spec[..., :1].real, spec[..., -1:].real)
+    return jnp.concatenate([bin0, spec[..., 1:-1]], axis=-1)
+
+
+def unpack_spectrum(packed: jax.Array) -> jax.Array:
+    """Packed [..., B] -> full rFFT half-spectrum [..., B+1]."""
+    zero = jnp.zeros_like(packed[..., :1].real)
+    bin0 = jax.lax.complex(packed[..., :1].real, zero)
+    nyq = jax.lax.complex(packed[..., :1].imag, zero)
+    return jnp.concatenate([bin0, packed[..., 1:], nyq], axis=-1)
+
+
+def _unpack_with_bin0(acc: jax.Array, bin0: jax.Array) -> jax.Array:
+    """Unpack [.., B] spectra whose bin 0 is stale, taking the correct
+    packed bin-0 value (DC in re, Nyquist in im) from `bin0` [.., 1]."""
+    zero = jnp.zeros_like(bin0.real)
+    dc = jax.lax.complex(bin0.real, zero)
+    nyq = jax.lax.complex(bin0.imag, zero)
+    return jnp.concatenate([dc, acc[..., 1:], nyq], axis=-1)
+
+
+def _packed_accumulate(
+    seg_block_fft: jax.Array,  # [K, B] packed
+    rir_fft: jax.Array,  # [C, P, B] packed
+) -> tuple[jax.Array, jax.Array]:
+    """Frequency-domain delay line Y_t = sum_p S_{t-p} H_p on PACKED spectra.
+
+    Returns (acc, bin0) with acc [T*C, B] the RAW complex accumulation —
+    kept as pure multiply-adds so XLA fuses the whole P-round chain into
+    one pass (patching bin 0 in-place here costs a full extra HBM pass,
+    measured ~10% of the entire env step) — and bin0 [T*C, 1] the CORRECT
+    packed bin-0 value complex(sum_p DC*DC, sum_p Nyq*Nyq), computed from
+    the tiny bin-0 columns. Consumers (the packed iFFT) substitute bin0 via
+    selects they already perform."""
+    k_total, f = seg_block_fft.shape
+    c, p, _ = rir_fft.shape
+    t_out = k_total - p + 1
+    acc = jnp.zeros((t_out * c, f), seg_block_fft.dtype)
+    for pi in range(p):
+        s = jax.lax.slice_in_dim(seg_block_fft, p - 1 - pi, p - 1 - pi + t_out)
+        acc = acc + (s[:, None, :] * rir_fft[None, :, pi, :]).reshape(
+            t_out * c, f
+        )
+    # correct bin 0: dc[t,c] = sum_p s0[t+P-1-p].re * h0[c,p].re (Nyq: .im)
+    s0 = seg_block_fft[:, 0]  # [K]
+    h0 = rir_fft[:, :, 0]  # [C, P]
+    sl = s0[jnp.arange(t_out)[:, None] + (p - 1 - jnp.arange(p))[None, :]]
+    dc = jnp.einsum("tp,cp->tc", sl.real, h0.real)
+    ny = jnp.einsum("tp,cp->tc", sl.imag, h0.imag)
+    return acc, jax.lax.complex(dc, ny).reshape(t_out * c, 1)
+
+
 def _rfft2d(x: jax.Array, n: int) -> jax.Array:
     """rFFT along the last axis of a 2-D array. Above the tunnel-safe XLA
     FFT size the transform runs as four-step MXU matmuls (ops/fourstep.py)
@@ -72,9 +147,9 @@ def precompute_segment_block_ffts(
 ) -> np.ndarray:
     """Block spectra of every second-aligned window's delay line.
 
-    Returns complex64 [n_sounds, max_secs, K, F] with
-    K = num_output_blocks(sr, B) + P - 1 and F = B + 1, where entry
-    (s, i, k) is  rfft(src_padded[i*sr + (k - P)B : i*sr + (k - P + 2)B])
+    Returns complex64 [n_sounds, max_secs, K, B] (DC/Nyquist-packed, see
+    pack_spectrum_np) with K = num_output_blocks(sr, B) + P - 1, where entry
+    (s, i, k) packs  rfft(src_padded[i*sr + (k - P)B : i*sr + (k - P + 2)B])
     over the source zero-padded with P*B samples on the left (the "reverb
     from previous step" region)."""
     sr = sampling_rate
@@ -85,7 +160,7 @@ def precompute_segment_block_ffts(
     n_sounds, max_samples = sources.shape
     if max_secs is None:
         max_secs = max_samples // sr
-    out = np.zeros((n_sounds, max_secs, k_total, b + 1), np.complex64)
+    out = np.zeros((n_sounds, max_secs, k_total, b), np.complex64)
     for s in range(n_sounds):
         length = max(int(lengths_sec[s]), 1)
         padded = np.concatenate(
@@ -98,33 +173,37 @@ def precompute_segment_block_ffts(
             for k in range(k_total):
                 start = n0 + k * b  # == n0 + (j-1)B with j = k - (P-1)
                 seg = padded[start : start + 2 * b]
-                out[s, i, k] = np.fft.rfft(seg, n=2 * b).astype(np.complex64)
+                out[s, i, k] = pack_spectrum_np(
+                    np.fft.rfft(seg, n=2 * b).astype(np.complex64)
+                )
     return out
 
 
 def precompute_rir_partition_ffts(
     rirs: np.ndarray, block: int
 ) -> np.ndarray:
-    """rirs [..., C, L] -> partition spectra [..., C, P, F] complex64."""
+    """rirs [..., C, L] -> packed partition spectra [..., C, P, B] c64."""
     b = block
     p = num_partitions(rirs.shape[-1], b)
     pad = p * b - rirs.shape[-1]
     padded = np.pad(rirs, [(0, 0)] * (rirs.ndim - 1) + [(0, pad)])
     parts = padded.reshape(padded.shape[:-1] + (p, b))
-    return np.fft.rfft(parts, n=2 * b, axis=-1).astype(np.complex64)
+    return pack_spectrum_np(
+        np.fft.rfft(parts, n=2 * b, axis=-1).astype(np.complex64)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def device_rir_partition_ffts(rirs: jax.Array, block: int) -> jax.Array:
     """On-device version of precompute_rir_partition_ffts (used when banks
-    are generated on device). rirs [..., C, L] -> [..., C, P, F]."""
+    are generated on device). rirs [..., C, L] -> packed [..., C, P, B]."""
     b = block
     p = num_partitions(rirs.shape[-1], b)
     pad = p * b - rirs.shape[-1]
     padded = jnp.pad(rirs, [(0, 0)] * (rirs.ndim - 1) + [(0, pad)])
     flat = padded.reshape((-1, b))  # keep FFT inputs 2-D (layout discipline)
-    out = _rfft2d(flat, 2 * b)
-    return out.reshape(rirs.shape[:-1] + (p, b + 1))
+    out = pack_spectrum(_rfft2d(flat, 2 * b))
+    return out.reshape(rirs.shape[:-1] + (p, b))
 
 
 @functools.partial(
@@ -142,7 +221,7 @@ def segment_block_ffts_from_source(
     """On-the-fly delay-line spectra for an arbitrary (non-second-aligned)
     window start — the SS2.0 continuous-mode case where the sample cursor
     advances by STEP_TIME*sr each step with wraparound
-    (soundspaces/continuous_simulator.py:428-456). Returns [K, F] complex."""
+    (soundspaces/continuous_simulator.py:428-456). Returns packed [K, B]."""
     b = block
     p = num_partitions(rir_max_len, b)
     t_out = num_output_blocks(window_len, b)
@@ -161,15 +240,15 @@ def segment_block_ffts_from_source(
     else:
         valid = (sample_idx >= 0) & (sample_idx < n)
         gathered = jnp.where(valid, source[jnp.clip(sample_idx, 0, n - 1)], 0.0)
-    return _rfft2d(gathered, 2 * b)
+    return pack_spectrum(_rfft2d(gathered, 2 * b))
 
 
 @functools.partial(
     jax.jit, static_argnames=("window_len", "block", "use_fourstep")
 )
 def partitioned_windowed_convolve_fft(
-    seg_block_fft: jax.Array,  # [K, F] complex
-    rir_fft: jax.Array,  # [C, P, F] complex partition spectra
+    seg_block_fft: jax.Array,  # [K, B] packed complex
+    rir_fft: jax.Array,  # [C, P, B] packed partition spectra
     window_len: int,
     block: int,
     use_fourstep: bool = True,
@@ -177,35 +256,35 @@ def partitioned_windowed_convolve_fft(
     """Like partitioned_windowed_convolve but with the RIR partition spectra
     precomputed into the bank — removes C*P forward FFTs per observation
     (the dominant per-step FFT cost at 44.1 kHz; the bank costs 2x the
-    time-domain storage). The inverse transform runs as four-step MXU
-    matmuls (ops/fourstep.py) instead of XLA's FFT when eligible."""
+    time-domain storage). Spectra are DC/Nyquist-packed (tile-aligned bank
+    rows). The inverse transform runs as four-step MXU matmuls
+    (ops/fourstep.py) instead of XLA's FFT when eligible."""
     b = block
     k_total, f = seg_block_fft.shape
     c, p, _ = rir_fft.shape
     t_out = k_total - p + 1
-    acc = jnp.zeros((t_out * c, f), seg_block_fft.dtype)
-    for pi in range(p):
-        s = jax.lax.slice_in_dim(seg_block_fft, p - 1 - pi, p - 1 - pi + t_out)
-        acc = acc + (s[:, None, :] * rir_fft[None, :, pi, :]).reshape(
-            t_out * c, f
-        )
+    acc, bin0 = _packed_accumulate(seg_block_fft, rir_fft)
     if use_fourstep and 2 * b >= 2048:
-        from soundspaces_tpu.ops.fourstep import irfft_halfcomplex_fourstep
+        from soundspaces_tpu.ops.fourstep import (
+            irfft_halfcomplex_packed_fourstep,
+        )
 
         # half-size complex transform (no full-spectrum concat) computing
-        # only the overlap-save keep region [b, 2b)
-        y = irfft_halfcomplex_fourstep(
-            acc.real, acc.imag, 2 * b, second_half_only=True
+        # only the overlap-save keep region [b, 2b); acc's stale bin 0 is
+        # overridden inside the transform's own selects
+        y = irfft_halfcomplex_packed_fourstep(
+            acc.real, acc.imag, 2 * b, second_half_only=True,
+            bin0r=bin0.real, bin0i=bin0.imag,
         )
     else:
-        y = jnp.fft.irfft(acc, n=2 * b)[:, b:]
+        y = jnp.fft.irfft(_unpack_with_bin0(acc, bin0), n=2 * b)[:, b:]
     y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)
     return y[:, :window_len]
 
 
 @functools.partial(jax.jit, static_argnames=("window_len", "block"))
 def partitioned_windowed_convolve(
-    seg_block_fft: jax.Array,  # [K, F] complex
+    seg_block_fft: jax.Array,  # [K, B] packed complex
     rir: jax.Array,  # [C, L] float
     window_len: int,
     block: int,
@@ -224,16 +303,12 @@ def partitioned_windowed_convolve(
     # 8x128 — a measured 28x HBM blowup at production shapes.
     pad = p * b - l
     parts = jnp.pad(rir, ((0, 0), (0, pad))).reshape(c * p, b)
-    h = jnp.fft.rfft(parts, n=2 * b).reshape(c, p, f)
+    h = pack_spectrum(jnp.fft.rfft(parts, n=2 * b)).reshape(c, p, f)
 
-    # frequency-domain delay line: Y_t = sum_p S_{t-p} H_p, accumulated over
-    # the (static, small) partition count
-    acc = jnp.zeros((t_out * c, f), seg_block_fft.dtype)
-    for pi in range(p):
-        s = jax.lax.slice_in_dim(seg_block_fft, p - 1 - pi, p - 1 - pi + t_out)
-        contrib = (s[:, None, :] * h[None, :, pi, :]).reshape(t_out * c, f)
-        acc = acc + contrib
+    # frequency-domain delay line: Y_t = sum_p S_{t-p} H_p
+    acc, bin0 = _packed_accumulate(seg_block_fft, h)
 
-    y = jnp.fft.irfft(acc, n=2 * b)[:, b:]  # overlap-save: keep 2nd half
+    # overlap-save: keep 2nd half
+    y = jnp.fft.irfft(_unpack_with_bin0(acc, bin0), n=2 * b)[:, b:]
     y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)
     return y[:, :window_len]

@@ -40,7 +40,7 @@ class AcousticBank:
     goal_nodes: np.ndarray  # [G] int32 node id of each goal slot
     goal_slot_of_node: np.ndarray  # [N] int32, -1 if node is not a goal
     seg_fft: np.ndarray  # [S, max_secs, F] complex64 (single-FFT path)
-    seg_block_fft: np.ndarray  # [S, max_secs, K, Fb] complex64 (partitioned)
+    seg_block_fft: np.ndarray  # [S, max_secs, K, B] c64, DC/Nyquist-packed
     conv_block: int  # partition block size B
     sounds: np.ndarray  # [S, max_samples] float32 raw waveforms
     sound_lengths_sec: np.ndarray  # [S] int32

@@ -72,7 +72,8 @@ def test_block_size_bounds():
 def test_rir_partition_fft_bank_shape(rng):
     rirs = rng.standard_normal((3, 2, 5000)).astype(np.float32)
     h = precompute_rir_partition_ffts(rirs, 2048)
-    assert h.shape == (3, 2, 3, 2049) and h.dtype == np.complex64
+    # DC/Nyquist-packed: frequency width == block (tile-aligned), not B+1
+    assert h.shape == (3, 2, 3, 2048) and h.dtype == np.complex64
 
 
 def test_fft_variant_matches_time_variant(rng):
@@ -100,3 +101,48 @@ def test_fft_variant_matches_time_variant(rng):
     # device-side partition FFTs match numpy's
     h_dev = np.asarray(device_rir_partition_ffts(jnp.asarray(rir), block))
     np.testing.assert_allclose(h_dev, h_np, rtol=1e-4, atol=1e-4)
+
+
+def test_spectrum_packing_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.ops.partitioned import (
+        pack_spectrum,
+        pack_spectrum_np,
+        unpack_spectrum,
+    )
+
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    spec = np.fft.rfft(x).astype(np.complex64)
+    packed_np = pack_spectrum_np(spec)
+    packed_j = np.asarray(pack_spectrum(jnp.asarray(spec)))
+    np.testing.assert_allclose(packed_np, packed_j, rtol=1e-6)
+    # lossless: unpack recovers the full half-spectrum (DC/Nyquist are real)
+    back = np.asarray(unpack_spectrum(jnp.asarray(packed_np)))
+    np.testing.assert_allclose(back, spec, rtol=1e-6, atol=1e-7)
+
+
+def test_packed_irfft_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.ops.fourstep import irfft_halfcomplex_packed_fourstep
+    from soundspaces_tpu.ops.partitioned import pack_spectrum_np
+
+    n = 4096
+    x = rng.standard_normal((6, n)).astype(np.float32)
+    spec = np.fft.rfft(x).astype(np.complex64)
+    packed = pack_spectrum_np(spec)
+    want = np.fft.irfft(spec, n=n)
+    full = np.asarray(
+        irfft_halfcomplex_packed_fourstep(
+            jnp.asarray(packed.real), jnp.asarray(packed.imag), n
+        )
+    )
+    np.testing.assert_allclose(full, want, rtol=2e-4, atol=2e-5)
+    half = np.asarray(
+        irfft_halfcomplex_packed_fourstep(
+            jnp.asarray(packed.real), jnp.asarray(packed.imag), n,
+            second_half_only=True,
+        )
+    )
+    np.testing.assert_allclose(half, want[:, n // 2 :], rtol=2e-4, atol=2e-5)
