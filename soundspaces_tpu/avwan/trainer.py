@@ -69,9 +69,19 @@ class AVWanTrainer(PPOTrainer):
         return (self.env.base.scene, self.env.base.episodes, self.env.tables())
 
     def make_phase_steps(self):
-        raise NotImplementedError(
-            "AV-WaN rollouts are waypoint-masked; profile with the fused step"
-        )
+        """Waypoint rollout and PPO update as separate jitted programs for
+        the env_time/pth_time profile ledger (av_nav/ppo/ppo_trainer.py:
+        126-155) — same math as the fused step."""
+
+        def rollout_fn(params, carry, scene, episodes, tables):
+            return self._rollout_phase(params, carry, scene, episodes, tables)
+
+        def update_fn(params, opt_state, bundle, rng, clip):
+            return self._update_phase(
+                params, opt_state, bundle, rng, clip, axis_name=None
+            )
+
+        return jax.jit(rollout_fn), jax.jit(update_fn)
 
     def init_state(self, rng):
         rng, env_key, p_key = jax.random.split(rng, 3)
@@ -91,86 +101,104 @@ class AVWanTrainer(PPOTrainer):
         n = obs["action_map"].shape[0]
         return obs["action_map"].reshape(n, -1)
 
-    def make_train_step(self, axis_name: str | None = None):
+    def _rollout_phase(self, params, carry, scene, episodes, tables):
         ppo = self.ppo
 
+        def one_step(c: WanCarry, _):
+            rng2, key = jax.random.split(c.rng)
+            masks = 1.0 - c.prev_done.astype(jnp.float32)
+            amask = self._mask(c.obs)
+            action, logp, value, hidden = self.policy.apply(
+                params, c.obs, c.hidden, masks, key, False, amask,
+                method=self.policy.act,
+            )
+            env_state, obs, reward, done, info = self.env.step_pure(
+                scene, episodes, tables, c.env_state, action
+            )
+            out = dict(obs=c.obs, actions=action, log_probs=logp,
+                       values=value, rewards=reward, masks=masks,
+                       dones=done, infos=info)
+            return WanCarry(env_state, obs, hidden, done, rng2), out
+
+        init_hidden = carry.hidden
+        carry2, traj = jax.lax.scan(one_step, carry, None, length=ppo.num_steps)
+        last_masks = 1.0 - carry2.prev_done.astype(jnp.float32)
+        last_value = self.policy.apply(
+            params, carry2.obs, carry2.hidden, last_masks,
+            self._mask(carry2.obs), method=self.policy.get_value,
+        )
+        return carry2, dict(
+            traj=traj, init_hidden=init_hidden, last_value=last_value
+        )
+
+    def _update_phase(self, params, opt_state, bundle, rng, clip,
+                      axis_name=None):
+        ppo = self.ppo
+        traj = bundle["traj"]
+        init_hidden = bundle["init_hidden"]
+        adv, returns = compute_gae(
+            traj["rewards"], traj["values"], traj["dones"],
+            bundle["last_value"], ppo.gamma, ppo.tau,
+        )
+        adv = normalize_advantages(adv, axis_name)
+
+        def loss_fn(p):
+            t, n = traj["actions"].shape
+            amask = self._mask(
+                jax.tree.map(lambda o: o.reshape((t * n,) + o.shape[2:]),
+                             traj["obs"])
+            ).reshape(t, n, -1)
+            logp, entropy, values, _ = self.policy.apply(
+                p, traj["obs"], init_hidden, traj["masks"],
+                traj["actions"], amask,
+                method=self.policy.evaluate_actions,
+            )
+            ratio = jnp.exp(logp - traj["log_probs"])
+            s1 = ratio * adv
+            s2 = jnp.clip(ratio, 1 - clip, 1 + clip) * adv
+            action_loss = -jnp.minimum(s1, s2).mean()
+            vc = traj["values"] + jnp.clip(values - traj["values"], -clip, clip)
+            value_loss = 0.5 * jnp.maximum(
+                (values - returns) ** 2, (vc - returns) ** 2
+            ).mean()
+            ent = entropy.mean()
+            total = (action_loss + ppo.value_loss_coef * value_loss
+                     - ppo.entropy_coef * ent)
+            return total, {"action_loss": action_loss,
+                           "value_loss": value_loss, "entropy": ent}
+
+        def epoch(c, key):
+            p, o = c
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(p)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+            gn = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, ppo.max_grad_norm / (gn + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, o = self.optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), metrics
+
+        keys = jax.random.split(rng, ppo.ppo_epoch)
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch, (params, opt_state), keys
+        )
+        metrics = jax.tree.map(jnp.mean, metrics)
+        done_f = traj["dones"].astype(jnp.float32)
+        n_done = jnp.maximum(done_f.sum(), 1.0)
+        metrics.update(
+            {"reward": traj["rewards"].sum(0).mean(),
+             **{k: (v * done_f).sum() / n_done
+                for k, v in traj["infos"].items()}}
+        )
+        return params, opt_state, metrics
+
+    def make_train_step(self, axis_name: str | None = None):
         def step(params, opt_state, carry, rng, clip, scene, episodes, tables):
-            def one_step(c: WanCarry, _):
-                rng2, key = jax.random.split(c.rng)
-                masks = 1.0 - c.prev_done.astype(jnp.float32)
-                amask = self._mask(c.obs)
-                action, logp, value, hidden = self.policy.apply(
-                    params, c.obs, c.hidden, masks, key, False, amask,
-                    method=self.policy.act,
-                )
-                env_state, obs, reward, done, info = self.env.step_pure(
-                    scene, episodes, tables, c.env_state, action
-                )
-                out = dict(obs=c.obs, actions=action, log_probs=logp,
-                           values=value, rewards=reward, masks=masks,
-                           dones=done, infos=info)
-                return WanCarry(env_state, obs, hidden, done, rng2), out
-
-            init_hidden = carry.hidden
-            carry2, traj = jax.lax.scan(one_step, carry, None, length=ppo.num_steps)
-            last_masks = 1.0 - carry2.prev_done.astype(jnp.float32)
-            last_value = self.policy.apply(
-                params, carry2.obs, carry2.hidden, last_masks,
-                self._mask(carry2.obs), method=self.policy.get_value,
+            carry2, bundle = self._rollout_phase(
+                params, carry, scene, episodes, tables
             )
-            adv, returns = compute_gae(
-                traj["rewards"], traj["values"], traj["dones"], last_value,
-                ppo.gamma, ppo.tau,
-            )
-            adv = normalize_advantages(adv, axis_name)
-
-            def loss_fn(p):
-                t, n = traj["actions"].shape
-                amask = self._mask(
-                    jax.tree.map(lambda o: o.reshape((t * n,) + o.shape[2:]),
-                                 traj["obs"])
-                ).reshape(t, n, -1)
-                logp, entropy, values, _ = self.policy.apply(
-                    p, traj["obs"], init_hidden, traj["masks"],
-                    traj["actions"], amask,
-                    method=self.policy.evaluate_actions,
-                )
-                ratio = jnp.exp(logp - traj["log_probs"])
-                s1 = ratio * adv
-                s2 = jnp.clip(ratio, 1 - clip, 1 + clip) * adv
-                action_loss = -jnp.minimum(s1, s2).mean()
-                vc = traj["values"] + jnp.clip(values - traj["values"], -clip, clip)
-                value_loss = 0.5 * jnp.maximum(
-                    (values - returns) ** 2, (vc - returns) ** 2
-                ).mean()
-                ent = entropy.mean()
-                total = (action_loss + ppo.value_loss_coef * value_loss
-                         - ppo.entropy_coef * ent)
-                return total, {"action_loss": action_loss,
-                               "value_loss": value_loss, "entropy": ent}
-
-            def epoch(c, key):
-                p, o = c
-                grads, metrics = jax.grad(loss_fn, has_aux=True)(p)
-                if axis_name is not None:
-                    grads = jax.lax.pmean(grads, axis_name)
-                gn = optax.global_norm(grads)
-                scale = jnp.minimum(1.0, ppo.max_grad_norm / (gn + 1e-6))
-                grads = jax.tree.map(lambda g: g * scale, grads)
-                updates, o = self.optimizer.update(grads, o, p)
-                return (optax.apply_updates(p, updates), o), metrics
-
-            keys = jax.random.split(rng, ppo.ppo_epoch)
-            (params, opt_state), metrics = jax.lax.scan(
-                epoch, (params, opt_state), keys
-            )
-            metrics = jax.tree.map(jnp.mean, metrics)
-            done_f = traj["dones"].astype(jnp.float32)
-            n_done = jnp.maximum(done_f.sum(), 1.0)
-            metrics.update(
-                {"reward": traj["rewards"].sum(0).mean(),
-                 **{k: (v * done_f).sum() / n_done
-                    for k, v in traj["infos"].items()}}
+            params, opt_state, metrics = self._update_phase(
+                params, opt_state, bundle, rng, clip, axis_name
             )
             return params, opt_state, carry2, metrics
 

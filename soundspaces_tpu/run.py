@@ -116,10 +116,16 @@ def main(argv=None):
             )
     elif args.run_type == "eval":
         if args.poll and is_savi:
-            raise NotImplementedError(
-                "--poll is not wired for the SAVi trainer yet; run "
-                "--run-type eval per checkpoint instead"
+            results = trainer.eval(
+                checkpoint_folder=cfg.trainer.checkpoint_folder,
+                eval_interval=args.eval_interval,
+                prev_ckpt_ind=args.prev_ckpt_ind,
+                num_episodes=cfg.eval.episode_count,
+                log_fn=lambda c, s: print(json.dumps({"checkpoint": c, **s})),
+                model_dir=cfg.model_dir,
+                seed=cfg.trainer.seed,
             )
+            return
         if args.poll:
             results = trainer.eval(
                 eval_interval=args.eval_interval,
@@ -140,6 +146,10 @@ def main(argv=None):
             params, opt_state, bparams, bopt, carry = trainer.init_state(
                 jax.random.PRNGKey(cfg.trainer.seed)
             )
+            if ckpt:
+                params, _, bparams, _ = trainer.load_checkpoint(
+                    ckpt, params, opt_state, bparams
+                )
             stats = trainer.evaluate(
                 params, bparams, num_episodes=cfg.eval.episode_count
             )

@@ -184,6 +184,72 @@ class SAViTrainer:
         )
         return path
 
+    def load_checkpoint(self, path, params, opt_state, bparams):
+        """Restore {params, opt_state, belief_predictor, update} — the SAVi
+        checkpoint carries the belief predictor alongside the policy
+        (savi/ppo/ppo_trainer.py:161-175)."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(path),
+            item={"params": params, "opt_state": opt_state,
+                  "belief_predictor": bparams, "update": 0},
+        )
+        return (restored["params"], restored["opt_state"],
+                restored["belief_predictor"], restored["update"])
+
+    def eval(
+        self,
+        checkpoint_folder: str,
+        eval_interval: int = 1,
+        prev_ckpt_ind: int = -1,
+        num_episodes: int = 50,
+        log_fn=None,
+        poll_interval_s: float = 2.0,
+        max_wait_s: float = 30.0,
+        model_dir: str | None = None,
+        seed: int = 0,
+    ):
+        """Checkpoint-folder polling eval for SAVi (BaseRLTrainer.eval,
+        base_trainer.py:68-122, with the SAVi evaluate loop): watch the
+        folder, evaluate every `eval_interval`-th new checkpoint (policy +
+        belief predictor restored together), log each result."""
+        import time as _time
+
+        from soundspaces_tpu.eval.selection import log_eval_result
+        from soundspaces_tpu.train.trainer import poll_checkpoint_folder
+
+        results = []
+        waited = 0.0
+        while True:
+            ckpt = poll_checkpoint_folder(checkpoint_folder, prev_ckpt_ind)
+            if ckpt is None:
+                if waited >= max_wait_s:
+                    break
+                _time.sleep(poll_interval_s)
+                waited += poll_interval_s
+                continue
+            waited = 0.0
+            prev_ckpt_ind += 1
+            if prev_ckpt_ind % eval_interval != 0:
+                continue
+            params, opt_state, bparams, _, _ = self.init_state(
+                jax.random.PRNGKey(seed)
+            )
+            params, _, bparams, update = self.load_checkpoint(
+                ckpt, params, opt_state, bparams
+            )
+            stats = self.evaluate(params, bparams, num_episodes=num_episodes)
+            stats["update"] = float(update)
+            if model_dir:
+                log_eval_result(model_dir, ckpt, stats)
+            if log_fn:
+                log_fn(ckpt, stats)
+            results.append((ckpt, stats))
+        return results
+
     # ------------------------------------------------------------------ eval
     def evaluate(
         self,

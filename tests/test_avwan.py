@@ -230,3 +230,24 @@ def test_exponential_lr_schedule():
         want = 1e-3 * np.exp(-2.0 * u / 100.0)
         got = float(sched(8 * u))
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_avwan_profile_mode(wp_world, tmp_path):
+    """train(profile=True) drives the split rollout/update programs and
+    reports the env_time/pth_time ledger (av_nav/ppo/ppo_trainer.py:126-155)."""
+    from soundspaces_tpu.avwan.trainer import AVWanTrainer
+    from soundspaces_tpu.train import PPOConfig, TrainerConfig
+
+    _, env = wp_world
+    trainer = AVWanTrainer(
+        TrainerConfig(num_envs=2, num_updates=2, log_interval=1,
+                      checkpoint_interval=100,
+                      checkpoint_folder=str(tmp_path / "ck")),
+        PPOConfig(num_steps=2, hidden_size=32, ppo_epoch=1, num_mini_batch=1),
+        env,
+    )
+    logs = []
+    trainer.train(jax.random.PRNGKey(0), log_fn=lambda u, m: logs.append(m),
+                  profile=True)
+    assert logs and logs[-1]["env_time"] > 0 and logs[-1]["pth_time"] > 0
+    assert np.isfinite(logs[-1]["reward"])

@@ -212,3 +212,51 @@ def test_eval_split_auto_config(tmp_path):
     p.write_text("eval:\n  split: test\n")
     assert get_config(str(p)).eval.episode_count == 1000
     assert get_config(str(p), opts=["eval.episode_count=42"]).eval.episode_count == 42
+
+
+def test_cli_savi_train_then_poll_eval(tmp_path):
+    """SAVi end-to-end through the CLI: train writes checkpoints (policy +
+    belief predictor), then --run-type eval --poll finds and evaluates them
+    with the restored weights (the BaseRLTrainer poll loop for SAVi)."""
+    from soundspaces_tpu.run import main
+
+    exp = tmp_path / "exp.yaml"
+    exp.write_text(
+        "trainer_name: savi\n"
+        "trainer:\n  num_updates: 2\n  num_envs: 2\n  log_interval: 1\n"
+        "  checkpoint_interval: 1\n"
+        "ppo:\n  num_steps: 2\n  hidden_size: 16\n  ppo_epoch: 1\n"
+        "  num_mini_batch: 1\n"
+        "smt:\n  memory_size: 4\n  hidden_size: 32\n  nhead: 4\n"
+        "env:\n"
+        "  sensors: [spectrogram, depth, pose, category,"
+        " pointgoal_with_gps_compass]\n"
+        "  max_episode_steps: 8\n"
+        "data:\n  num_nodes_hint: 16\n  sampling_rate: 4000\n"
+        "  rir_max_len: 600\n  image_size: 16\n  num_episodes: 16\n"
+    )
+    model_dir = tmp_path / "savi_run"
+    main([
+        "--run-type", "train", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+    ])
+    ckpts = os.listdir(model_dir / "ckpts")
+    assert any(c.startswith("ckpt.") for c in ckpts)
+
+    out = []
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--run-type", "eval", "--exp-config", str(exp),
+            "--model-dir", str(model_dir), "--force-cpu", "--poll",
+            "eval.episode_count=2",
+        ])
+    for line in buf.getvalue().splitlines():
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            pass
+    polled = [o for o in out if "checkpoint" in o]
+    assert polled and all(np.isfinite(o["success"]) for o in polled)

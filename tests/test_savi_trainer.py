@@ -87,3 +87,35 @@ def test_savi_evaluate(savi_setup):
     stats = trainer.evaluate(params, bparams, num_episodes=4, max_steps=120)
     assert stats["episode_count"] == 4
     assert 0.0 <= stats["success"] <= 1.0
+
+
+def test_savi_checkpoint_roundtrip_and_poll_eval(savi_setup, tmp_path):
+    """save_checkpoint -> load_checkpoint restores policy + belief; the
+    polling eval() finds the checkpoint and reports its stats."""
+    env, trainer = savi_setup
+    params, opt_state, bparams, bopt, carry = trainer.init_state(
+        jax.random.PRNGKey(3)
+    )
+    folder = str(tmp_path / "ckpts")
+    import os
+
+    os.makedirs(folder)
+    trainer.save_checkpoint(folder, params, opt_state, bparams, 7)
+
+    p0, o0, b0, _, _ = trainer.init_state(jax.random.PRNGKey(99))
+    p1, _, b1, update = trainer.load_checkpoint(
+        folder + "/ckpt.7", p0, o0, b0
+    )
+    assert int(update) == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(bparams), jax.tree.leaves(b1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    results = trainer.eval(
+        checkpoint_folder=folder, num_episodes=2, max_wait_s=0.0, seed=5
+    )
+    assert len(results) == 1
+    ckpt, stats = results[0]
+    assert ckpt.endswith("ckpt.7") and stats["update"] == 7.0
+    assert np.isfinite(stats["success"])
