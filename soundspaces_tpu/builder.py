@@ -93,6 +93,47 @@ def build_env(
     num_envs: int | None = None,
     sequential: bool = False,
 ) -> AudioNavEnv:
+    if assets is None and cfg.data.num_scenes > 1:
+        assert cfg.data.synthetic, (
+            "data.num_scenes > 1 builds synthetic scene sets; for real "
+            "multi-scene data stack assets via train.multiscene directly"
+        )
+        assert not (getattr(cfg, "continuous", None) and cfg.continuous.enabled), (
+            "multi-scene is discrete-sim only (the reference also drops "
+            "scenes for continuous rendering, env_utils.py:46-48)"
+        )
+        import dataclasses
+
+        from soundspaces_tpu.train.multiscene import (
+            MultiSceneEnv,
+            stack_episode_banks,
+            stack_scenes,
+        )
+
+        assets_list = [
+            build_assets(
+                dataclasses.replace(
+                    cfg, data=dataclasses.replace(cfg.data, seed=cfg.data.seed + i)
+                )
+            )
+            for i in range(cfg.data.num_scenes)
+        ]
+        banks = [
+            make_episode_bank(
+                a, cfg.data.num_episodes, seed=cfg.data.seed + 1 + i,
+                min_geodesic_hops=1,
+            )
+            for i, a in enumerate(assets_list)
+        ]
+        env_cfg = cfg.env
+        if sequential:
+            env_cfg = dataclasses.replace(env_cfg, episode_sampling="sequential")
+        return MultiSceneEnv(
+            env_cfg,
+            stack_scenes(assets_list),
+            stack_episode_banks(banks),
+            num_envs or cfg.trainer.num_envs,
+        )
     assets = assets or build_assets(cfg)
     scene = DeviceScene.from_assets(assets)
     if episodes is None:

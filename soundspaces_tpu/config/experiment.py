@@ -25,6 +25,11 @@ class DataConfig:
     (metadata graph.pkl, binaural RIR wavs, sound wavs, frame cache pkl)."""
 
     synthetic: bool = True
+    # scenes per training job: >1 stacks per-scene banks along a leading
+    # scene axis and round-robins envs over scenes (MultiSceneEnv — the
+    # reference's scene distribution, env_utils.py:65-69). Synthetic scenes
+    # use seeds seed, seed+1, ... (real multi-scene: pass assets explicitly)
+    num_scenes: int = 1
     # synthetic knobs
     num_nodes_hint: int = 100
     num_goals: int = 4

@@ -125,20 +125,104 @@ def stack_episode_banks(banks: Sequence[EpisodeBank]) -> EpisodeBank:
     )
 
 
+class MultiSceneEnv:
+    """Single-device multi-scene env: the env batch is statically grouped
+    over the scene axis — group g's envs live in scene g — the TPU-native
+    form of the reference's round-robin scene distribution across simulator
+    workers (ss_baselines/common/env_utils.py:65-69; a reference worker's
+    scene set is likewise fixed for the whole run).
+
+    All scenes' banks are resident in HBM (leading scene axis, padded by
+    stack_scenes); the group dispatch is a static Python loop, so each
+    group's bank access is a free view — no dynamic scene gathers on the
+    hot path. Exposes the same reset/step/step_pure surface as AudioNavEnv
+    and drops into PPOTrainer unchanged."""
+
+    def __init__(
+        self,
+        config,
+        scene: DeviceScene,
+        episodes: EpisodeBank,
+        num_envs: int,
+    ):
+        from soundspaces_tpu.env.audionav import AudioNavEnv
+
+        self.num_scenes = int(scene.points.shape[0])
+        assert num_envs % self.num_scenes == 0, (
+            f"num_envs={num_envs} must divide evenly over "
+            f"{self.num_scenes} scenes"
+        )
+        self.num_envs = num_envs
+        self.scene = scene
+        self.episodes = episodes
+        scene0 = jax.tree.map(lambda x: x[0], scene)
+        ep0 = jax.tree.map(lambda x: x[0], episodes)
+        self.base = AudioNavEnv(config, scene0, ep0,
+                                num_envs // self.num_scenes)
+        self.config = self.base.config
+        self._reset_jit = jax.jit(self.reset_pure)
+        self._step_jit = jax.jit(self.step_pure)
+
+    @property
+    def observation_shapes(self):
+        return self.base.observation_shapes
+
+    def reset(self, rng):
+        keys = jax.random.split(rng, self.num_envs)
+        env_ids = jnp.arange(self.num_envs, dtype=jnp.int32)
+        return self._reset_jit(self.scene, self.episodes, keys, env_ids)
+
+    def step(self, state, actions):
+        return self._step_jit(self.scene, self.episodes, state, actions)
+
+    def _dispatch(self, fn, scene, episodes, *per_env):
+        s = self.num_scenes
+        grouped = [
+            jax.tree.map(lambda a: a.reshape((s, -1) + a.shape[1:]), x)
+            for x in per_env
+        ]
+        outs = []
+        for g in range(s):  # static: each group's banks are free views
+            sc = jax.tree.map(lambda x: x[g], scene)
+            ep = jax.tree.map(lambda x: x[g], episodes)
+            args = [jax.tree.map(lambda x: x[g], x) for x in grouped]
+            outs.append(fn(sc, ep, *args))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), stacked
+        )
+
+    def reset_pure(self, scene, episodes, keys, env_ids):
+        # env_ids localize per group so each group walks its own episodes
+        local_ids = env_ids % (self.num_envs // self.num_scenes)
+        return self._dispatch(
+            self.base.reset_pure, scene, episodes, keys, local_ids
+        )
+
+    def step_pure(self, scene, episodes, state, actions):
+        return self._dispatch(
+            self.base.step_pure, scene, episodes, state, actions
+        )
+
+
 def scene_sharded_train_step(mesh, step_fn, num_envs: int, num_scenes: int):
     """Like parallel.data_parallel_step but the scene/episode banks shard
-    their leading scene axis over 'dp' (one scene per shard when
-    num_scenes == mesh size). Inside the shard the local leading axis is
-    squeezed so the per-scene env code sees unbatched banks."""
+    their leading scene axis over 'dp'. With num_scenes == mesh size each
+    shard squeezes its single scene (plain AudioNavEnv step_fn); with
+    num_scenes == k * mesh size each shard keeps its local [k, ...] scene
+    axis and the step_fn must come from a trainer over a MultiSceneEnv with
+    k scenes (the reference's many-scenes-per-worker round-robin,
+    env_utils.py:65-69)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from soundspaces_tpu.train.parallel import DP_AXIS
 
     n_dev = mesh.devices.size
-    assert num_scenes % n_dev == 0 and num_scenes == n_dev, (
-        "v1 scene sharding places exactly one scene per device"
+    assert num_scenes % n_dev == 0, (
+        f"num_scenes={num_scenes} must be a multiple of the mesh size {n_dev}"
     )
+    scenes_per_shard = num_scenes // n_dev
 
     def spec_for_carry(x):
         if getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_envs:
@@ -150,8 +234,9 @@ def scene_sharded_train_step(mesh, step_fn, num_envs: int, num_scenes: int):
         carry = carry.replace(
             rng=jax.random.fold_in(carry.rng, jax.lax.axis_index(DP_AXIS))
         )
-        scene = jax.tree.map(lambda x: x[0], scene)  # squeeze local scene
-        episodes = jax.tree.map(lambda x: x[0], episodes)
+        if scenes_per_shard == 1:
+            scene = jax.tree.map(lambda x: x[0], scene)  # squeeze local scene
+            episodes = jax.tree.map(lambda x: x[0], episodes)
         return step_fn(params, opt_state, carry, rng, clip, scene, episodes)
 
     def wrapped(params, opt_state, carry, rng, clip, scene, episodes):
