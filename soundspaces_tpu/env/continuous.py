@@ -54,8 +54,18 @@ class ContinuousConfig:
     # the exact continuous pose each step with the native C++ ray tracer via
     # host callback — the reference's AudioSensor behavior
     # (continuous_simulator.py:115-126). Tracer mode is host-bound by
-    # design (so is the reference's CPU ray tracer).
+    # design (so is the reference's CPU ray tracer). "parametric" synthesizes
+    # the RIR at the exact pose ON DEVICE (ops/parametric_rir.py: image-source
+    # reflections + Sabine 4-band tails) — pose-exact like the tracer but
+    # jit/vmap-native, so it runs at full TPU batch rates
     rir_source: str = "bank"
+    # parametric-mode acoustics (4 bands, the ray tracer's band count):
+    # per-band mean surface absorption (tools/materials.py spectra), room
+    # height for the shoebox model, broadband wall reflection absorption
+    parametric_absorption: tuple[float, ...] = (0.10, 0.20, 0.35, 0.50)
+    room_height: float = 3.0
+    wall_absorption: float = 0.3
+    parametric_noise_seed: int = 0
     # live on-device depth rasterization at the exact pose (ops/raycast.py)
     # instead of nearest-node frame-cache gathers
     live_depth: bool = False
@@ -80,10 +90,14 @@ class ContinuousEnvState:
     collided: jax.Array
     ep_ptr: jax.Array
     rng: jax.Array
-    # tracer mode only (None in bank mode): the current pose's traced RIR
-    # and the previous step's, so crossfade never re-traces a pose
+    # tracer/parametric modes only (None in bank mode): the current pose's
+    # fresh RIR and the previous step's, so crossfade never re-renders
     rir: jax.Array | None = None
     prev_rir: jax.Array | None = None
+    # parametric mode: per-episode circular shift decorrelating the static
+    # band-noise tables across episodes (fixed within an episode so
+    # consecutive steps stay temporally coherent)
+    tail_shift: jax.Array | None = None
 
 
 class ContinuousAudioNavEnv:
@@ -107,6 +121,16 @@ class ContinuousAudioNavEnv:
                 "rir_source='tracer' needs a PoseTracer (tools.rir_synth)"
             )
             assert tracer.rir_max_len == scene.rir_max_len
+        self._band_noise = None
+        if config.rir_source == "parametric":
+            from soundspaces_tpu.ops.parametric_rir import band_noise_tables
+
+            self._band_noise = jnp.asarray(
+                band_noise_tables(
+                    int(scene.rir_max_len), int(scene.sampling_rate),
+                    config.parametric_noise_seed,
+                )
+            )
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
 
@@ -144,7 +168,7 @@ class ContinuousAudioNavEnv:
 
     def _load_episode(self, scene, episodes, state_rng, ep_ptr):
         ep = episodes
-        rng, sub, sub2 = jax.random.split(state_rng, 3)
+        rng, sub, sub2, sub3 = jax.random.split(state_rng, 4)
         i = jax.random.randint(sub, (), 0, ep.num_episodes)
         node = ep.start_node[i]
         geo = ep.geodesic[i]
@@ -156,14 +180,21 @@ class ContinuousAudioNavEnv:
         sample0 = jax.random.randint(
             sub2, (), 0, sound_len * scene.sampling_rate
         )
+        fresh_mode = self.config.rir_source in ("tracer", "parametric")
         zero_rir = (
             jnp.zeros((2, scene.rir_max_len), jnp.float32)
-            if self.config.rir_source == "tracer"
+            if fresh_mode
+            else None
+        )
+        tail_shift = (
+            jax.random.randint(sub3, (), 0, scene.rir_max_len)
+            if self.config.rir_source == "parametric"
             else None
         )
         return ContinuousEnvState(
             rir=zero_rir,
             prev_rir=zero_rir,
+            tail_shift=tail_shift,
             x=scene.points[node, 0],
             z=scene.points[node, 2],
             heading=heading,
@@ -195,12 +226,19 @@ class ContinuousAudioNavEnv:
 
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(scene, episodes, rng, env_id)
-        if self.config.rir_source == "tracer":
-            rir = self._traced_rir(
-                scene, state.x, state.z, state.heading, state.goal_node
-            )
+        if self.config.rir_source in ("tracer", "parametric"):
+            rir = self._fresh_rir(scene, state)
             state = state.replace(rir=rir, prev_rir=rir)
         return state, self._observe(scene, state)
+
+    def _fresh_rir(self, scene, state):
+        """Pose-exact RIR at the state's continuous pose: native ray trace
+        (host callback) or on-device parametric synthesis."""
+        if self.config.rir_source == "tracer":
+            return self._traced_rir(
+                scene, state.x, state.z, state.heading, state.goal_node
+            )
+        return self._parametric_rir(scene, state)
 
     def _step_one(self, scene, episodes, state, action):
         cfg = self.config
@@ -262,13 +300,10 @@ class ContinuousAudioNavEnv:
         )
         fresh = self._load_episode(scene, episodes, state.rng, state.ep_ptr)
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, continued)
-        if self.config.rir_source == "tracer":
-            # trace the merged pose ONCE; the previous pose's RIR is carried
+        if self.config.rir_source in ("tracer", "parametric"):
+            # render the merged pose ONCE; the previous pose's RIR is carried
             # (on reset, prev = current so the crossfade is a no-op)
-            rir = self._traced_rir(
-                scene, new_state.x, new_state.z, new_state.heading,
-                new_state.goal_node,
-            )
+            rir = self._fresh_rir(scene, new_state)
             new_state = new_state.replace(
                 rir=rir, prev_rir=jnp.where(done, rir, state.rir)
             )
@@ -300,6 +335,32 @@ class ContinuousAudioNavEnv:
             host, shape, recv, src, vmap_method="broadcast_all"
         )
 
+    def _parametric_rir(self, scene, state):
+        """On-device pose-exact RIR (ops/parametric_rir.py): image-source
+        early reflections over the scene's bounding shoebox + Sabine
+        4-band tails from the static noise tables."""
+        from soundspaces_tpu.ops.parametric_rir import (
+            parametric_binaural_rir,
+            sabine_rt60,
+        )
+
+        cfg = self.config
+        pts = scene.points
+        bbox_min = jnp.stack([pts[:, 0].min(), pts[:, 2].min()])
+        bbox_max = jnp.stack([pts[:, 0].max(), pts[:, 2].max()])
+        ext = jnp.concatenate(
+            [bbox_max - bbox_min, jnp.array([cfg.room_height])]
+        )
+        rt60 = sabine_rt60(ext, jnp.asarray(cfg.parametric_absorption))
+        return parametric_binaural_rir(
+            state.x, state.z, state.heading,
+            scene.points[state.goal_node, 0], scene.points[state.goal_node, 2],
+            self._band_noise, rt60, bbox_min, bbox_max, state.tail_shift,
+            int(scene.sampling_rate), int(scene.rir_max_len),
+            room_height=cfg.room_height,
+            wall_absorption=cfg.wall_absorption,
+        )
+
     def _bank_rir(self, scene, state, node, az):
         rir = scene.rir[az, node, state.goal_slot]
         if rir.dtype != jnp.float32:
@@ -328,7 +389,8 @@ class ContinuousAudioNavEnv:
         cfg = self.config
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
-        if cfg.rir_source == "tracer":
+        fresh_mode = cfg.rir_source in ("tracer", "parametric")
+        if fresh_mode:
             rir = state.rir
         else:
             rir = self._bank_rir(scene, state, node, az)
@@ -336,7 +398,7 @@ class ContinuousAudioNavEnv:
         if cfg.use_crossfade:
             prev_rir = (
                 state.prev_rir
-                if cfg.rir_source == "tracer"
+                if fresh_mode
                 else self._bank_rir(scene, state, state.prev_node,
                                     state.prev_az)
             )

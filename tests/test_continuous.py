@@ -191,3 +191,88 @@ def test_tracer_mode_per_step_rir():
     e_near = float((tracer(near, src) ** 2).sum())
     e_far = float((tracer(far, src) ** 2).sum())
     assert e_near > e_far, (e_near, e_far)
+
+
+def test_parametric_rir_physics():
+    """On-device parametric RIR: direct-path onset at dist/c, ipsilateral
+    ILD, Schroeder decay toward the configured band RT60s."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.ops.parametric_rir import (
+        band_noise_tables,
+        parametric_binaural_rir,
+        sabine_rt60,
+    )
+
+    sr, L = 16000, 16000
+    noise = jnp.asarray(band_noise_tables(L, sr, seed=3))
+    rt60 = jnp.asarray([0.6, 0.5, 0.4, 0.3])
+    bmin, bmax = jnp.asarray([0.0, 0.0]), jnp.asarray([10.0, 8.0])
+
+    # source 3.43 m to the RIGHT of an agent facing +x: onset ~ 160 samples
+    rir = parametric_binaural_rir(
+        jnp.float32(2.0), jnp.float32(2.0), jnp.float32(0.0),
+        jnp.float32(2.0), jnp.float32(5.43),
+        noise, rt60, bmin, bmax, jnp.int32(7), sr, L,
+    )
+    rir = np.asarray(rir)
+    assert rir.shape == (2, L) and np.isfinite(rir).all()
+    onset = int(round(3.43 / 343.0 * sr))
+    # no energy before the earliest possible arrival (direct minus max ITD)
+    assert np.abs(rir[:, : onset - 8]).max() == 0.0
+    # bearing +90 deg (source at +z, agent facing +x): right ear louder
+    d0 = np.abs(rir[:, onset - 8 : onset + 8]).max(axis=1)
+    assert d0[1] > d0[0]
+    # Schroeder decay: tail energy at 0.45 s is far below energy at onset
+    e_early = np.square(rir[:, onset : onset + sr // 10]).sum()
+    e_late = np.square(rir[:, int(0.45 * sr) :]).sum()
+    assert e_late < e_early * 0.1
+
+    # Sabine: bigger absorption -> shorter RT60, monotone across bands
+    rt = np.asarray(
+        sabine_rt60(jnp.asarray([10.0, 3.0, 8.0]),
+                    jnp.asarray([0.1, 0.2, 0.35, 0.5]))
+    )
+    assert (np.diff(rt) < 0).all() and (rt > 0.04).all()
+
+
+def test_continuous_parametric_mode():
+    """rir_source='parametric': pose-exact on-device RIRs drive the full
+    continuous loop (crossfade, spectrogram) under jit/vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.env.continuous import (
+        ContinuousAudioNavEnv,
+        ContinuousConfig,
+    )
+    from soundspaces_tpu.env import make_episode_bank
+
+    from soundspaces_tpu.env import DeviceScene
+    from soundspaces_tpu.scene import make_synthetic_assets as _msa
+
+    assets = _msa(num_nodes_hint=30, sampling_rate=4410, rir_max_len=1500,
+                  image_size=8, num_sounds=2, max_secs=2, seed=77)
+    scene = DeviceScene.from_assets(assets)
+    env = ContinuousAudioNavEnv(
+        ContinuousConfig(
+            rir_source="parametric",
+            sensors=("audiogoal", "spectrogram",
+                     "pointgoal_with_gps_compass"),
+            max_episode_steps=8,
+        ),
+        scene, make_episode_bank(assets, 8, seed=9), num_envs=2,
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs["audiogoal"])).all()
+    assert np.abs(np.asarray(obs["audiogoal"])).max() > 0
+    shifts = np.asarray(state.tail_shift)
+    for t in range(4):
+        state, obs, reward, done, info = env.step(
+            state, jnp.array([1, 2], jnp.int32)
+        )
+        assert np.isfinite(np.asarray(obs["spectrogram"])).all()
+    # tail shift stays fixed within an episode (temporal coherence)
+    if not np.asarray(done).any():
+        np.testing.assert_array_equal(np.asarray(state.tail_shift), shifts)
