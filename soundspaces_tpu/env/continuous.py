@@ -6,13 +6,16 @@ step with the RLRAudioPropagation ray tracer; audio is a STEP_TIME-long
 window of the source convolved with that RIR, crossfaded 50 ms against the
 previous step's RIR (428-456, 47-53).
 
-TPU-native v1: continuous pose (x, z, heading) with occupancy-grid collision;
+TPU-native: continuous pose (x, z, heading) with occupancy-grid collision;
 the per-pose RIR comes from the HBM bank at the nearest graph node and
-nearest 90-degree azimuth (the precomputed-grid stand-in for the ray tracer —
-a native ray-tracing synthesizer is the planned upgrade; see
-soundspaces_tpu/tools). Audio windowing and crossfade follow the reference's
-sample-cursor semantics exactly, via the partitioned convolution with
-on-the-fly delay-line spectra.
+nearest 90-degree azimuth ("bank"), a fresh native C++ ray trace at the
+exact pose via host callback ("tracer", tools/rir_synth.py), or fully
+on-device parametric synthesis at the exact pose ("parametric",
+ops/parametric_rir.py). Audio windowing and crossfade follow the
+reference's sample-cursor semantics exactly, via the partitioned
+convolution with on-the-fly delay-line spectra (computed once per step,
+shared by the crossfade pair; bank mode convolves against the
+precomputed RIR partition spectra when present).
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from soundspaces_tpu.env.structs import DeviceScene, EpisodeBank
 from soundspaces_tpu.ops.crossfade import crossfade
 from soundspaces_tpu.ops.partitioned import (
     partitioned_windowed_convolve,
+    partitioned_windowed_convolve_fft,
     segment_block_ffts_from_source,
 )
 from soundspaces_tpu.ops.stft import spectrogram
@@ -367,7 +371,10 @@ class ContinuousAudioNavEnv:
             rir = rir.astype(jnp.float32)
         return rir
 
-    def _render_audio(self, scene, state, rir):
+    def _seg_spectra(self, scene, state):
+        """Delay-line spectra of this step's source window — computed ONCE
+        per step and shared by the current and crossfade-previous
+        convolutions (both read the same sample cursor)."""
         cfg = self.config
         sr = scene.sampling_rate
         num_sample = int(round(cfg.step_time * sr))
@@ -375,14 +382,30 @@ class ContinuousAudioNavEnv:
         true_len = (
             jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1) * sr
         )
-        seg = segment_block_ffts_from_source(
+        return segment_block_ffts_from_source(
             src, state.sample_index, num_sample, scene.rir_max_len,
             scene.conv_block, length=true_len, wrap=True,
         )
+
+    def _render_audio(self, scene, state, rir, seg):
+        cfg = self.config
+        sr = scene.sampling_rate
+        num_sample = int(round(cfg.step_time * sr))
         audio = partitioned_windowed_convolve(
             seg, rir, num_sample, scene.conv_block
         )
         # zero-pad to 1 s like the reference (continuous_simulator.py:454)
+        return jnp.pad(audio, ((0, 0), (0, sr - num_sample)))
+
+    def _render_audio_fft(self, scene, state, rir_fft, seg):
+        """Bank-mode fast path: convolve against PRECOMPUTED RIR partition
+        spectra (scene.rir_part_fft) — no per-step forward RIR FFTs."""
+        cfg = self.config
+        sr = scene.sampling_rate
+        num_sample = int(round(cfg.step_time * sr))
+        audio = partitioned_windowed_convolve_fft(
+            seg, rir_fft, num_sample, scene.conv_block
+        )
         return jnp.pad(audio, ((0, 0), (0, sr - num_sample)))
 
     def _observe(self, scene, state):
@@ -390,19 +413,31 @@ class ContinuousAudioNavEnv:
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
         fresh_mode = cfg.rir_source in ("tracer", "parametric")
+        seg = self._seg_spectra(scene, state)
+        use_fft_bank = not fresh_mode and scene.rir_part_fft is not None
         if fresh_mode:
-            rir = state.rir
+            audio = self._render_audio(scene, state, state.rir, seg)
+        elif use_fft_bank:
+            h = scene.rir_part_fft[az, node, state.goal_slot]
+            audio = self._render_audio_fft(scene, state, h, seg)
         else:
             rir = self._bank_rir(scene, state, node, az)
-        audio = self._render_audio(scene, state, rir)
+            audio = self._render_audio(scene, state, rir, seg)
         if cfg.use_crossfade:
-            prev_rir = (
-                state.prev_rir
-                if fresh_mode
-                else self._bank_rir(scene, state, state.prev_node,
-                                    state.prev_az)
-            )
-            prev_audio = self._render_audio(scene, state, prev_rir)
+            if fresh_mode:
+                prev_audio = self._render_audio(
+                    scene, state, state.prev_rir, seg
+                )
+            elif use_fft_bank:
+                hp = scene.rir_part_fft[
+                    state.prev_az, state.prev_node, state.goal_slot
+                ]
+                prev_audio = self._render_audio_fft(scene, state, hp, seg)
+            else:
+                prev_rir = self._bank_rir(
+                    scene, state, state.prev_node, state.prev_az
+                )
+                prev_audio = self._render_audio(scene, state, prev_rir, seg)
             audio = crossfade(prev_audio, audio, scene.sampling_rate)
         obs = {}
         if "audiogoal" in cfg.sensors:

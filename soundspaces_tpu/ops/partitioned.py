@@ -107,11 +107,15 @@ def _packed_accumulate(
     return acc, jax.lax.complex(dc, ny).reshape(t_out * c, 1)
 
 
+FOURSTEP_MIN_FFT = 8192  # below this XLA's FFT wins; above, MXU matmuls do
+
+
 def _rfft2d(x: jax.Array, n: int) -> jax.Array:
-    """rFFT along the last axis of a 2-D array. Above the tunnel-safe XLA
-    FFT size the transform runs as four-step MXU matmuls (ops/fourstep.py)
-    instead — enabling 32768-sample partition blocks (2B = 65536)."""
-    if n <= MAX_FFT_SIZE:
+    """rFFT along the last axis of a 2-D array. Large transforms run as
+    four-step MXU matmuls (ops/fourstep.py): XLA's TPU FFT does not map
+    onto the MXU and is the measured bottleneck of per-step spectra at
+    32768 points (it also wedges the axon tunnel above 32768)."""
+    if n < FOURSTEP_MIN_FFT:
         return jnp.fft.rfft(x, n=n)
     from soundspaces_tpu.ops.fourstep import rfft_fourstep
 
@@ -303,12 +307,22 @@ def partitioned_windowed_convolve(
     # 8x128 — a measured 28x HBM blowup at production shapes.
     pad = p * b - l
     parts = jnp.pad(rir, ((0, 0), (0, pad))).reshape(c * p, b)
-    h = pack_spectrum(jnp.fft.rfft(parts, n=2 * b)).reshape(c, p, f)
+    h = pack_spectrum(_rfft2d(parts, 2 * b)).reshape(c, p, f)
 
     # frequency-domain delay line: Y_t = sum_p S_{t-p} H_p
     acc, bin0 = _packed_accumulate(seg_block_fft, h)
 
     # overlap-save: keep 2nd half
-    y = jnp.fft.irfft(_unpack_with_bin0(acc, bin0), n=2 * b)[:, b:]
+    if 2 * b >= 2048:
+        from soundspaces_tpu.ops.fourstep import (
+            irfft_halfcomplex_packed_fourstep,
+        )
+
+        y = irfft_halfcomplex_packed_fourstep(
+            acc.real, acc.imag, 2 * b, second_half_only=True,
+            bin0r=bin0.real, bin0i=bin0.imag,
+        )
+    else:
+        y = jnp.fft.irfft(_unpack_with_bin0(acc, bin0), n=2 * b)[:, b:]
     y = y.reshape(t_out, c, b).transpose(1, 0, 2).reshape(c, t_out * b)
     return y[:, :window_len]

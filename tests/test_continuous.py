@@ -276,3 +276,24 @@ def test_continuous_parametric_mode():
     # tail shift stays fixed within an episode (temporal coherence)
     if not np.asarray(done).any():
         np.testing.assert_array_equal(np.asarray(state.tail_shift), shifts)
+
+
+def test_fft_bank_fast_path_matches_generic(cont_env):
+    """Bank mode with precomputed RIR partition spectra (rir_part_fft) must
+    produce the same crossfaded audio as the generic per-step-FFT path."""
+    assets, env = cont_env
+    scene_fft = DeviceScene.from_assets(assets, precompute_rir_fft=True)
+    assert scene_fft.rir_part_fft is not None
+    cfg = ContinuousConfig(sensors=("audiogoal",), use_crossfade=True)
+    episodes = make_episode_bank(assets, 32, seed=42, min_geodesic_hops=2)
+    env_g = ContinuousAudioNavEnv(cfg, env.scene, episodes, num_envs=2)
+    env_f = ContinuousAudioNavEnv(cfg, scene_fft, episodes, num_envs=2)
+    sg, og = env_g.reset(jax.random.PRNGKey(11))
+    sf, of = env_f.reset(jax.random.PRNGKey(11))
+    for t in range(4):
+        a = jnp.array([MOVE_FORWARD, TURN_LEFT if t % 2 else MOVE_FORWARD])
+        ag, bg = np.asarray(og["audiogoal"]), np.asarray(of["audiogoal"])
+        scale = max(np.abs(ag).max(), 1e-6)
+        np.testing.assert_allclose(ag / scale, bg / scale, atol=2e-3)
+        sg, og, *_ = env_g.step(sg, a)
+        sf, of, *_ = env_f.step(sf, a)
