@@ -32,6 +32,7 @@ from soundspaces_tpu.ops.crossfade import crossfade
 from soundspaces_tpu.ops.partitioned import (
     partitioned_windowed_convolve,
     partitioned_windowed_convolve_fft,
+    segment_block_ffts_from_ext,
     segment_block_ffts_from_source,
 )
 from soundspaces_tpu.ops.stft import spectrogram
@@ -374,10 +375,18 @@ class ContinuousAudioNavEnv:
     def _seg_spectra(self, scene, state):
         """Delay-line spectra of this step's source window — computed ONCE
         per step and shared by the current and crossfade-previous
-        convolutions (both read the same sample cursor)."""
+        convolutions (both read the same sample cursor). Uses the
+        contiguous-slice path over the wrap-extended source bank when the
+        scene carries one (the per-sample modulo gather it replaces was the
+        measured bottleneck of the whole continuous step on TPU)."""
         cfg = self.config
         sr = scene.sampling_rate
         num_sample = int(round(cfg.step_time * sr))
+        if scene.sounds_ext is not None:
+            return segment_block_ffts_from_ext(
+                scene.sounds_ext[state.sound_id], state.sample_index,
+                num_sample, scene.rir_max_len, scene.conv_block,
+            )
         src = _sound_of(scene, state.sound_id)
         true_len = (
             jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1) * sr

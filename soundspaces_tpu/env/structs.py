@@ -81,6 +81,9 @@ class DeviceScene:
     # optional precomputed RIR partition spectra [4, N, G, 2, P, F] c64:
     # trades 2x bank memory for removing all per-step forward FFTs
     rir_part_fft: jax.Array | None = None
+    # wrap-extended sources [S, P*B + max_samples + tail] for the continuous
+    # mode's contiguous-slice delay-line windows (extend_source_for_slicing)
+    sounds_ext: jax.Array | None = None
     # [max_instances] instance id -> mpcat40 id (SemanticObjectSensor)
     instance_to_mpcat: jax.Array | None = None
     grid_size: float = struct.field(pytree_node=False, default=0.5)
@@ -97,7 +100,10 @@ class DeviceScene:
         host->device transfer; the convolution upcasts per-gather.
         precompute_rir_fft stores partition spectra (2x memory, no per-step
         forward FFTs)."""
-        from soundspaces_tpu.ops.partitioned import precompute_rir_partition_ffts
+        from soundspaces_tpu.ops.partitioned import (
+            extend_source_for_slicing,
+            precompute_rir_partition_ffts,
+        )
 
         g, ac = assets.graph, assets.acoustics
         rir = ac.rir if rir_dtype is None else ac.rir.astype(rir_dtype)
@@ -123,6 +129,12 @@ class DeviceScene:
             seg_fft=_put_complex(ac.seg_fft),
             seg_block_fft=_put_complex(ac.seg_block_fft),
             sounds=jnp.asarray(ac.sounds),
+            sounds_ext=jnp.asarray(
+                extend_source_for_slicing(
+                    ac.sounds, ac.sound_lengths_sec, ac.sampling_rate,
+                    ac.rir_max_len, ac.conv_block,
+                )
+            ),
             sound_lengths_sec=jnp.asarray(ac.sound_lengths_sec),
             frames={k: jnp.asarray(v) for k, v in assets.frames.modalities.items()},
             occupancy=jnp.asarray(occupancy),

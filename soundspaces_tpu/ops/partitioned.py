@@ -247,6 +247,62 @@ def segment_block_ffts_from_source(
     return pack_spectrum(_rfft2d(gathered, 2 * b))
 
 
+def extend_source_for_slicing(
+    sounds: np.ndarray,  # [S, max_samples] f32
+    lengths_sec: np.ndarray,  # [S] i32 true lengths in whole seconds
+    sampling_rate: int,
+    rir_max_len: int,
+    block: int,
+) -> np.ndarray:
+    """Wrap-extended, left-zero-padded source rows for
+    segment_block_ffts_from_ext: ext[s, P*B + j] = sounds[s, j mod n_s]
+    (n_s = true length), with P*B zeros on the left (the "no reverb history
+    before episode start" region) and one-plus window-span of cyclic tail on
+    the right. Turns the per-step delay-line window into ONE contiguous
+    dynamic_slice — the per-sample modulo gather it replaces measured 95 ms
+    of a 97 ms segment-spectra step at 64 envs/44.1 kHz on TPU v5e."""
+    b = block
+    p = num_partitions(rir_max_len, b)
+    # worst-case window: a full second (step_time <= 1 s)
+    k_max = num_output_blocks(sampling_rate, b) + p - 1
+    tail = (k_max + 1) * b
+    s, max_samples = sounds.shape
+    ext = np.zeros((s, p * b + max_samples + tail), np.float32)
+    for i in range(s):
+        n = max(int(lengths_sec[i]), 1) * sampling_rate
+        idx = np.arange(n + tail) % n
+        ext[i, p * b : p * b + n + tail] = sounds[i, idx]
+    return ext
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_len", "rir_max_len", "block")
+)
+def segment_block_ffts_from_ext(
+    ext: jax.Array,  # [P*B + max_samples + tail] one extended source row
+    start: jax.Array,  # scalar i32 cursor in [0, n)
+    window_len: int,
+    rir_max_len: int,
+    block: int,
+) -> jax.Array:
+    """Fast path of segment_block_ffts_from_source over a wrap-extended
+    source row (extend_source_for_slicing): block k of the delay line starts
+    at ext index start + k*B, so the union of all K overlapping blocks is
+    one contiguous slice of (K+1)*B samples — no per-sample index math.
+    Semantics identical: positions past the sound's end wrap cyclically,
+    positions before sample 0 are silence (continuous_simulator.py:443-445).
+    Returns packed [K, B]."""
+    b = block
+    p = num_partitions(rir_max_len, b)
+    t_out = num_output_blocks(window_len, b)
+    k_total = t_out + p - 1
+    span = jax.lax.dynamic_slice(ext, (start,), ((k_total + 1) * b,))
+    rows = span.reshape(k_total + 1, b)
+    # overlapping 2B blocks at hop B: block k = rows[k] ++ rows[k+1]
+    blocks = jnp.concatenate([rows[:-1], rows[1:]], axis=1)
+    return pack_spectrum(_rfft2d(blocks, 2 * b))
+
+
 @functools.partial(
     jax.jit, static_argnames=("window_len", "block", "use_fourstep")
 )

@@ -146,3 +146,36 @@ def test_packed_irfft_matches_numpy(rng):
         )
     )
     np.testing.assert_allclose(half, want[:, n // 2 :], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("sr,rir_max", [(4410, 2000), (16000, 8000)])
+def test_segment_ffts_ext_matches_source_path(rng, sr, rir_max):
+    """The contiguous-slice delay-line path over wrap-extended sources must
+    equal the per-sample modulo-gather path for arbitrary cursors (incl.
+    cursors near the end, where 16 kHz sounds wrap twice within one 2B
+    block)."""
+    from soundspaces_tpu.ops.partitioned import (
+        extend_source_for_slicing,
+        segment_block_ffts_from_ext,
+        segment_block_ffts_from_source,
+    )
+    import jax.numpy as jnp
+
+    n = sr  # 1 s true length
+    src = np.zeros((1, n), np.float32)
+    src[0] = rng.standard_normal(n).astype(np.float32)
+    lengths = np.array([1], np.int32)
+    block = choose_block_size(rir_max)
+    ext = extend_source_for_slicing(src, lengths, sr, rir_max, block)
+    window = int(0.25 * sr)
+    for start in [0, 7, n // 3, n - 1, n - window // 2]:
+        want = segment_block_ffts_from_source(
+            jnp.asarray(src[0]), jnp.int32(start), window, rir_max, block,
+            length=jnp.int32(n), wrap=True,
+        )
+        got = segment_block_ffts_from_ext(
+            jnp.asarray(ext[0]), jnp.int32(start), window, rir_max, block
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
