@@ -88,7 +88,9 @@ struct XorShift {
 
 // March one energy ray through the grid, depositing band energy at the
 // receiver. 2-D DDA against the occupancy grid.
-void trace_ray(const Grid& grid, const Config& cfg, float sx, float sz,
+// Returns true iff the ray deposited any energy at the receiver (the stat
+// behind getRayEfficiency()).
+bool trace_ray(const Grid& grid, const Config& cfg, float sx, float sz,
                float rx, float rz, float dirx, float dirz, XorShift& rng,
                BandEnergy& out) {
   float x = sx, z = sz;
@@ -100,6 +102,7 @@ void trace_ray(const Grid& grid, const Config& cfg, float sx, float sz,
   const float step = cfg.grid_size * 0.25f;
   const float max_path = cfg.rir_len * kSpeedOfSound / cfg.sampling_rate;
   int bounces = 0;
+  bool deposited = false;
 
   while (path < max_path && bounces <= cfg.max_bounces) {
     float nx = x + dx * step, nz = z + dz * step;
@@ -128,9 +131,24 @@ void trace_ray(const Grid& grid, const Config& cfg, float sx, float sz,
         float air = std::exp(-cfg.air_absorption * path);
         for (int b = 0; b < kNumBands; ++b)
           out.e[b][n] += energy[b] * air;
+        deposited = true;
       }
     }
   }
+  return deposited;
+}
+
+bool direct_path_clear(const Grid& grid, const Config& cfg, float rx,
+                       float rz, float sx, float sz) {
+  const float ddx = sx - rx, ddz = sz - rz;
+  const float dist = std::sqrt(ddx * ddx + ddz * ddz);
+  int steps = (int)(dist / (cfg.grid_size * 0.25f));
+  for (int i = 1; i < steps; ++i) {
+    float t = (float)i / steps;
+    if (!grid.walkable_at(rx + ddx * t, rz + ddz * t, cfg.grid_size))
+      return false;
+  }
+  return true;
 }
 
 // Band-limited noise carrier: deterministic white noise shaped by a cheap
@@ -278,15 +296,7 @@ void trace_one_pose(const Grid& grid, const Config& cfg, float rx, float rz,
   const float dist =
       std::max(std::sqrt(ddx * ddx + ddz * ddz), cfg.grid_size * 0.5f);
   const float src_dir = std::atan2(ddz, ddx);
-  const bool occluded = [&] {
-    int steps = (int)(dist / (cfg.grid_size * 0.25f));
-    for (int i = 1; i < steps; ++i) {
-      float t = (float)i / steps;
-      if (!grid.walkable_at(rx + ddx * t, rz + ddz * t, cfg.grid_size))
-        return true;
-    }
-    return false;
-  }();
+  const bool occluded = !direct_path_clear(grid, cfg, rx, rz, sx, sz);
 
   const float rel = src_dir - heading;
   const float itd = 0.09f / kSpeedOfSound * std::sin(rel);
@@ -393,6 +403,59 @@ int trace_rirs(const float* recv_xzh, int batch, const float* src_xz,
       trace_one_pose(grid, cfg, recv_xzh[i * 3 + 0], recv_xzh[i * 3 + 1],
                      recv_xzh[i * 3 + 2], src_xz[i * 2 + 0],
                      src_xz[i * 2 + 1], out + (size_t)i * 2 * rir_len);
+    }
+  };
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  nt = std::max(1, std::min(nt, batch));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
+// Physical sanity probes — the AudioSensor's sourceIsVisible() /
+// getRayEfficiency() surface (SoundSpaces2 quick tutorial notebook).
+// recv_xz: float32 [batch, 2]; src_xz: [batch, 2];
+// out: float32 [batch, 2] = (ray_efficiency in [0,1], source_visible 0/1).
+int ray_stats(const float* recv_xz, int batch, const float* src_xz,
+              const uint8_t* occupancy, int grid_h, int grid_w,
+              float grid_size, int sampling_rate, int rir_len, int num_rays,
+              int max_bounces, const float* absorption, float scattering,
+              float air_absorption, uint64_t seed, int num_threads,
+              float* out) {
+  Config cfg;
+  cfg.sampling_rate = sampling_rate;
+  cfg.rir_len = rir_len;
+  cfg.num_rays = std::max(num_rays, 1);
+  cfg.max_bounces = max_bounces;
+  cfg.grid_size = grid_size;
+  cfg.receiver_radius = grid_size * 0.6f;
+  for (int b = 0; b < kNumBands; ++b) cfg.absorption[b] = absorption[b];
+  cfg.scattering = scattering;
+  cfg.air_absorption = air_absorption;
+  cfg.seed = seed;
+
+  Grid grid{occupancy, grid_h, grid_w};
+  std::atomic<int> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= batch) return;
+      const float rx = recv_xz[i * 2 + 0], rz = recv_xz[i * 2 + 1];
+      const float sx = src_xz[i * 2 + 0], sz = src_xz[i * 2 + 1];
+      BandEnergy acc(cfg.rir_len);
+      XorShift ray_rng(cfg.seed ^ (uint64_t)(i * 2654435761u + 1));
+      int hit = 0;
+      for (int r = 0; r < cfg.num_rays; ++r) {
+        float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
+        if (trace_ray(grid, cfg, sx, sz, rx, rz, std::cos(ang),
+                      std::sin(ang), ray_rng, acc))
+          ++hit;
+      }
+      out[i * 2 + 0] = (float)hit / cfg.num_rays;
+      out[i * 2 + 1] = direct_path_clear(grid, cfg, rx, rz, sx, sz) ? 1.f : 0.f;
     }
   };
   int nt = num_threads > 0 ? num_threads

@@ -10,6 +10,9 @@ import os
 import numpy as np
 
 import jax
+
+if os.environ.get("FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from soundspaces_tpu.env import DeviceScene, make_episode_bank

@@ -424,35 +424,44 @@ class ContinuousAudioNavEnv:
         fresh_mode = cfg.rir_source in ("tracer", "parametric")
         seg = self._seg_spectra(scene, state)
         use_fft_bank = not fresh_mode and scene.rir_part_fft is not None
+        xf = cfg.use_crossfade
+        # crossfade pair rendered as ONE convolve over stacked channels
+        # [prev_L, prev_R, cur_L, cur_R] — halves per-step kernel count and
+        # doubles the MXU batch of the accumulate/iFFT matmuls
         if fresh_mode:
-            audio = self._render_audio(scene, state, state.rir, seg)
+            rir = (
+                jnp.concatenate([state.prev_rir, state.rir], axis=0)
+                if xf else state.rir
+            )
+            audio = self._render_audio(scene, state, rir, seg)
         elif use_fft_bank:
             h = scene.rir_part_fft[az, node, state.goal_slot]
-            audio = self._render_audio_fft(scene, state, h, seg)
-        else:
-            rir = self._bank_rir(scene, state, node, az)
-            audio = self._render_audio(scene, state, rir, seg)
-        if cfg.use_crossfade:
-            if fresh_mode:
-                prev_audio = self._render_audio(
-                    scene, state, state.prev_rir, seg
-                )
-            elif use_fft_bank:
+            if xf:
                 hp = scene.rir_part_fft[
                     state.prev_az, state.prev_node, state.goal_slot
                 ]
-                prev_audio = self._render_audio_fft(scene, state, hp, seg)
-            else:
+                h = jnp.concatenate([hp, h], axis=0)
+            audio = self._render_audio_fft(scene, state, h, seg)
+        else:
+            rir = self._bank_rir(scene, state, node, az)
+            if xf:
                 prev_rir = self._bank_rir(
                     scene, state, state.prev_node, state.prev_az
                 )
-                prev_audio = self._render_audio(scene, state, prev_rir, seg)
-            audio = crossfade(prev_audio, audio, scene.sampling_rate)
+                rir = jnp.concatenate([prev_rir, rir], axis=0)
+            audio = self._render_audio(scene, state, rir, seg)
+        if xf:
+            audio = crossfade(audio[:2], audio[2:], scene.sampling_rate)
         obs = {}
         if "audiogoal" in cfg.sensors:
             obs["audiogoal"] = audio
         if "spectrogram" in cfg.sensors:
-            obs["spectrogram"] = spectrogram(audio)
+            # the convolve window is only step_time long; frames past it are
+            # exactly zero and skipped by the STFT (identical output)
+            obs["spectrogram"] = spectrogram(
+                audio,
+                nonzero_len=int(round(cfg.step_time * scene.sampling_rate)),
+            )
         if "pointgoal_with_gps_compass" in cfg.sensors:
             dx = scene.points[state.goal_node, 0] - state.x
             dz = scene.points[state.goal_node, 2] - state.z

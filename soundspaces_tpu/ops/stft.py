@@ -152,7 +152,10 @@ def _block_reduce_mean(x: jax.Array, block: tuple[int, int]) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "win_length", "block", "use_pallas"),
+    static_argnames=(
+        "n_fft", "hop_length", "win_length", "block", "use_pallas",
+        "nonzero_len",
+    ),
 )
 def spectrogram(
     audio: jax.Array,
@@ -161,13 +164,20 @@ def spectrogram(
     win_length: int = 400,
     block: tuple[int, int] = (4, 4),
     use_pallas: bool = False,
+    nonzero_len: int | None = None,
 ) -> jax.Array:
     """Binaural audio [..., 2, n_samples] -> spectrogram
     [..., ceil(F/4), ceil(T/4), 2], matching the reference
     SpectrogramSensor output bit-for-bit up to float32 rounding.
 
     use_pallas pins the |.|->pool->log1p tail into one hand-fused VMEM
-    kernel (ops/pallas_kernels.py)."""
+    kernel (ops/pallas_kernels.py).
+
+    nonzero_len declares that audio[..., nonzero_len:] is all zero (the
+    continuous mode's step_time window zero-padded to 1 s,
+    continuous_simulator.py:454): frames past the nonzero prefix have
+    exactly-zero magnitude and are emitted as zeros instead of computed —
+    the OUTPUT IS IDENTICAL, only the DFT work shrinks to the prefix."""
     if use_pallas:
         from soundspaces_tpu.ops.pallas_kernels import fused_magnitude_pool_log1p
 
@@ -189,12 +199,27 @@ def spectrogram(
         return jnp.moveaxis(red, -3, -1)
     batch_shape = audio.shape[:-1]
     x = audio.reshape((-1, audio.shape[-1]))
+    n_samples = x.shape[-1]
+    t_full = 1 + n_samples // hop_length
+    tp_full = -(-t_full // block[1])
+    if nonzero_len is not None and nonzero_len < n_samples:
+        pad = n_fft // 2
+        # frames whose (center-padded) window touches the nonzero prefix,
+        # rounded up to whole pool blocks + one block of margin so the
+        # truncated signal's right reflect-pad reflects only zeros
+        t_nz = -(-(pad + nonzero_len) // hop_length)
+        t_keep = min((-(-t_nz // block[1]) + 1) * block[1], t_full)
+        if t_keep < t_full:
+            n_cut = (t_keep - 1) * hop_length
+            x = x[:, :n_cut]
     mag_tf = _stft_magnitude_tf(x, n_fft, hop_length, win_length)  # [B,T,F]
     # pool in [T, F] layout (blocks are symmetric), then transpose the SMALL
     # pooled tensor to the reference's [F', T'] — transposing the full
     # [B, T, F] magnitude first costs a large relayout pass
     red = _block_reduce_mean(mag_tf, (block[1], block[0]))  # [B, T', F']
     red = jnp.log1p(jnp.swapaxes(red, -1, -2))  # [B, F', T']
+    if red.shape[-1] < tp_full:  # zero frames skipped by nonzero_len
+        red = jnp.pad(red, ((0, 0), (0, 0), (0, tp_full - red.shape[-1])))
     red = red.reshape(batch_shape + red.shape[1:])
     return jnp.moveaxis(red, -3, -1)  # channel axis (2) to last
 

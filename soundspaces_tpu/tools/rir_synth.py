@@ -77,6 +77,19 @@ def _load():
             ctypes.c_uint64, ctypes.c_int,  # seed, num_threads
             ctypes.POINTER(ctypes.c_float),  # out
         ]
+        _lib.ray_stats.restype = ctypes.c_int
+        _lib.ray_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,  # recv_xz, batch
+            ctypes.POINTER(ctypes.c_float),  # src_xz
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,  # occ
+            ctypes.c_float,  # grid_size
+            ctypes.c_int, ctypes.c_int,  # sampling_rate, rir_len
+            ctypes.c_int, ctypes.c_int,  # num_rays, max_bounces
+            ctypes.POINTER(ctypes.c_float),  # absorption[4]
+            ctypes.c_float, ctypes.c_float,  # scattering, air_absorption
+            ctypes.c_uint64, ctypes.c_int,  # seed, num_threads
+            ctypes.POINTER(ctypes.c_float),  # out [batch, 2]
+        ]
     return _lib
 
 
@@ -188,6 +201,45 @@ class PoseTracer:
         b = recv.shape[0]
         out = np.zeros((b, 2, self.rir_max_len), np.float32)
         ret = self._lib.trace_rirs(
+            recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._occ.shape[0],
+            self._occ.shape[1],
+            ctypes.c_float(self.grid_size),
+            self.sampling_rate,
+            self.rir_max_len,
+            self.num_rays,
+            self.max_bounces,
+            self._absorption.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(self.scattering),
+            ctypes.c_float(self.air_absorption),
+            ctypes.c_uint64(self.seed),
+            self.num_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert ret == 0
+        return out
+
+    def ray_stats(
+        self, recv_xz: np.ndarray, src_xz: np.ndarray
+    ) -> np.ndarray:
+        """Physical sanity probes of the ray tracer at (receiver, source)
+        pairs — the AudioSensor's getRayEfficiency() / sourceIsVisible()
+        surface (SoundSpaces2 quick tutorial). recv_xz [B, 2], src_xz
+        [B, 2] world coords. Returns [B, 2] float32:
+        column 0 = fraction of indirect rays that reached the receiver,
+        column 1 = 1.0 iff the direct path is unoccluded."""
+        recv = np.ascontiguousarray(recv_xz, np.float32).copy()
+        src = np.ascontiguousarray(src_xz, np.float32).copy()
+        recv[:, 0] -= self._origin[0]
+        recv[:, 1] -= self._origin[1]
+        src[:, 0] -= self._origin[0]
+        src[:, 1] -= self._origin[1]
+        b = recv.shape[0]
+        out = np.zeros((b, 2), np.float32)
+        ret = self._lib.ray_stats(
             recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             b,
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -74,3 +74,26 @@ def test_pallas_fused_tail_matches_reference(rng):
     ):
         got = np.asarray(spectrogram(audio, use_pallas=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_nonzero_len_trim_is_exact(rng):
+    """spectrogram(audio, nonzero_len=k) must equal the full computation
+    when audio[..., k:] is zero (the continuous mode's padded window)."""
+    import jax.numpy as jnp
+
+    sr, k = 44100, 11025
+    audio = np.zeros((3, 2, sr), np.float32)
+    audio[..., :k] = rng.standard_normal((3, 2, k)).astype(np.float32)
+    a = jnp.asarray(audio)
+    full = np.asarray(spectrogram(a))
+    trim = np.asarray(spectrogram(a, nonzero_len=k))
+    assert trim.shape == full.shape
+    np.testing.assert_array_equal(trim, full)
+    # and at 16 kHz / 0.5 s windows
+    sr, k = 16000, 4000
+    audio = np.zeros((2, 2, sr), np.float32)
+    audio[..., :k] = rng.standard_normal((2, 2, k)).astype(np.float32)
+    a = jnp.asarray(audio)
+    np.testing.assert_array_equal(
+        np.asarray(spectrogram(a, nonzero_len=k)), np.asarray(spectrogram(a))
+    )
