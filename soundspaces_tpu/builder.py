@@ -188,6 +188,7 @@ def build_env(
                 rir_source=c.rir_source,
                 live_depth=c.live_depth,
                 depth_size=cfg.data.image_size,
+                step_chunks=c.step_chunks,
             ),
             scene, episodes, num_envs or cfg.trainer.num_envs,
             tracer=tracer,

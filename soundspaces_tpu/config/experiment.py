@@ -76,6 +76,9 @@ class ContinuousOverrides:
     num_rays: int = 500  # indirectRayCount (continuous_simulator.py:123)
     # live on-device depth rasterization at the exact pose (ops/raycast.py)
     live_depth: bool = False
+    # sequential env chunks inside the jitted step (HBM locality past ~128
+    # envs; see EnvConfig.step_chunks)
+    step_chunks: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

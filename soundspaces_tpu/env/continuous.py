@@ -75,6 +75,16 @@ class ContinuousConfig:
     # instead of nearest-node frame-cache gathers
     live_depth: bool = False
     depth_size: int = 128
+    # process the env batch in this many sequential chunks inside the jitted
+    # step (lax.map) — large audio batches lose HBM locality (see
+    # EnvConfig.step_chunks)
+    step_chunks: int = 1
+
+    @property
+    def num_actions(self) -> int:
+        # STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT (the reference's
+        # continuous action set, av_nav/config/default.py:216-227)
+        return 4
 
 
 @struct.dataclass
@@ -154,6 +164,23 @@ class ContinuousAudioNavEnv:
         )
 
     def step_pure(self, scene, episodes, state, actions):
+        # same HBM-locality fix as the discrete env (audionav.py): past ~128
+        # envs the audio batch loses locality — process in sequential chunks
+        c = self.config.step_chunks
+        if c > 1 and actions.shape[0] % c == 0:
+            def one_chunk(args):
+                st, ac = args
+                return jax.vmap(self._step_one, in_axes=(None, None, 0, 0))(
+                    scene, episodes, st, ac
+                )
+
+            stc = jax.tree.map(
+                lambda x: x.reshape((c, -1) + x.shape[1:]), state
+            )
+            out = jax.lax.map(one_chunk, (stc, actions.reshape(c, -1)))
+            return jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), out
+            )
         return jax.vmap(self._step_one, in_axes=(None, None, 0, 0))(
             scene, episodes, state, actions
         )

@@ -260,3 +260,31 @@ def test_cli_savi_train_then_poll_eval(tmp_path):
             pass
     polled = [o for o in out if "checkpoint" in o]
     assert polled and all(np.isfinite(o["success"]) for o in polled)
+
+
+def test_cli_continuous_train_smoke(tmp_path):
+    """Training end-to-end ON the SS2.0 continuous env via the CLI
+    (the reference's CONTINUOUS=True training path)."""
+    from soundspaces_tpu.run import main
+
+    exp = tmp_path / "exp.yaml"
+    exp.write_text(
+        "trainer:\n  num_updates: 2\n  num_envs: 2\n  log_interval: 1\n"
+        "  checkpoint_interval: 2\n"
+        "ppo:\n  num_steps: 4\n  hidden_size: 16\n  ppo_epoch: 1\n"
+        "  num_mini_batch: 1\n"
+        "continuous:\n  enabled: true\n"
+        "env:\n  sensors: [spectrogram]\n  max_episode_steps: 10\n"
+        "data:\n  num_nodes_hint: 20\n  sampling_rate: 4410\n"
+        "  rir_max_len: 800\n  image_size: 8\n  num_episodes: 16\n"
+    )
+    model_dir = tmp_path / "cont1"
+    main([
+        "--run-type", "train", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+    ])
+    lines = [
+        json.loads(l)
+        for l in (model_dir / "train.log").read_text().splitlines()
+    ]
+    assert len(lines) >= 2 and np.isfinite(lines[-1]["reward"])
