@@ -176,6 +176,7 @@ class AudioNavEnv:
             path_length=jnp.float32(0.0),
             num_actions=jnp.int32(0),
             collided=jnp.bool_(False),
+            collision_count=jnp.int32(0),
             viewpoint_nodes=ep.viewpoint_nodes[i],
             ep_ptr=ep_ptr + jnp.int32(self.num_envs),
             rng=rng,
@@ -237,6 +238,7 @@ class AudioNavEnv:
             jnp.where(action == TURN_RIGHT, (state.rot_idx - 1) % 4, state.rot_idx),
         )
         collided = is_move & blocked
+        collision_count = state.collision_count + collided.astype(jnp.int32)
 
         step_count = state.step_count + 1
         num_actions = state.num_actions + 1
@@ -282,6 +284,7 @@ class AudioNavEnv:
             "na": num_actions.astype(jnp.float32),
             "sna": sna,
             "sws": sf * silent,
+            "collisions": collision_count.astype(jnp.float32),
         }
 
         sound_len = jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)
@@ -294,6 +297,7 @@ class AudioNavEnv:
             path_length=path_length,
             num_actions=num_actions,
             collided=collided,
+            collision_count=collision_count,
         )
         fresh = self._load_episode(episodes, state.rng, state.ep_ptr)
         new_state = jax.tree.map(

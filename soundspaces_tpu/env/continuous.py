@@ -103,6 +103,7 @@ class ContinuousEnvState:
     prev_geodesic: jax.Array
     path_length: jax.Array
     collided: jax.Array
+    collision_count: jax.Array  # per-episode (habitat Collisions measure)
     ep_ptr: jax.Array
     rng: jax.Array
     # tracer/parametric modes only (None in bank mode): the current pose's
@@ -241,6 +242,7 @@ class ContinuousAudioNavEnv:
             prev_geodesic=geo,
             path_length=jnp.float32(0.0),
             collided=jnp.bool_(False),
+            collision_count=jnp.int32(0),
             ep_ptr=ep_ptr + jnp.int32(self.num_envs),
             rng=rng,
         )
@@ -252,9 +254,17 @@ class ContinuousAudioNavEnv:
         return jnp.min(d2) < (scene.grid_size * 0.75) ** 2
 
     def _geodesic(self, scene, x, z, goal_node):
-        node = self._nearest_node(scene, x, z)
-        hops = scene.geodesic_hops[node, goal_node].astype(jnp.float32)
-        return hops * scene.grid_size
+        """Continuous geodesic: min over graph nodes of (euclidean to the
+        node + node->goal graph distance) — the graph-augmented metric that
+        stands in for habitat's navmesh geodesic
+        (continuous_simulator.py:464-480). Unlike nearest-node hop counts it
+        changes with every sub-node motion, so the distance-delta reward
+        (environments.py:74-91) gives dense shaping in continuous mode."""
+        d = jnp.sqrt(
+            (scene.points[:, 0] - x) ** 2 + (scene.points[:, 2] - z) ** 2
+        )
+        hops = scene.geodesic_hops[:, goal_node].astype(jnp.float32)
+        return jnp.min(d + hops * scene.grid_size)
 
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(scene, episodes, rng, env_id)
@@ -283,6 +293,7 @@ class ContinuousAudioNavEnv:
         new_x = jnp.where(ok, nx, state.x)
         new_z = jnp.where(ok, nz, state.z)
         collided = is_fwd & ~ok
+        collision_count = state.collision_count + collided.astype(jnp.int32)
         turn = jnp.deg2rad(cfg.turn_angle_deg)
         new_heading = state.heading + jnp.where(
             action == TURN_LEFT, -turn, jnp.where(action == TURN_RIGHT, turn, 0.0)
@@ -311,6 +322,7 @@ class ContinuousAudioNavEnv:
             / jnp.maximum(state.start_geodesic, path_length),
             "distance_to_goal": geo,
             "na": step_count.astype(jnp.float32),
+            "collisions": collision_count.astype(jnp.float32),
         }
 
         sound_samples = (
@@ -329,6 +341,7 @@ class ContinuousAudioNavEnv:
             prev_geodesic=geo,
             path_length=path_length,
             collided=collided,
+            collision_count=collision_count,
         )
         fresh = self._load_episode(scene, episodes, state.rng, state.ep_ptr)
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, continued)

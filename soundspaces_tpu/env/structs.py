@@ -264,6 +264,9 @@ class EnvState:
     path_length: jax.Array  # f32 cumulative euclidean path
     num_actions: jax.Array  # i32
     collided: jax.Array  # bool
+    # per-episode collision count (habitat's Collisions measure, referenced
+    # by the eval configs — configs/audionav/av_nav/replica/audiogoal.yaml)
+    collision_count: jax.Array  # i32
     viewpoint_nodes: jax.Array  # [V] i32 success nodes, -1 padded
     ep_ptr: jax.Array  # i32 sequential episode cursor
     rng: jax.Array  # PRNG key

@@ -252,3 +252,29 @@ def test_step_chunks_equivalent(setup):
             rtol=1e-6, atol=1e-6,
         )
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_collisions_measure(setup):
+    """Per-episode collision count (habitat's Collisions measure referenced
+    by the eval configs): increments on blocked MOVE_FORWARD, resets with
+    the episode."""
+    import jax
+    import jax.numpy as jnp
+
+    _, env = make_env(setup, n_envs=4)
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    total = np.zeros(env.num_envs, np.float32)
+    hit = False
+    for _ in range(25):
+        state, _, _, done, info = env.step(
+            state, jnp.full((env.num_envs,), MOVE_FORWARD)
+        )
+        c = np.asarray(info["collisions"])
+        d = np.asarray(done)
+        assert (c >= 0).all()
+        if (c > 0).any():
+            hit = True
+        total = np.where(d, 0.0, c)
+    assert hit  # forward-only walking must hit a wall somewhere
+    # count never exceeds steps taken
+    assert (np.asarray(state.collision_count) <= 25).all()
