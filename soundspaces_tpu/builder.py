@@ -166,13 +166,27 @@ def build_env(
 
         c = cfg.continuous
         tracer = None
-        if c.rir_source == "tracer":
+        neural_field = None
+        if c.rir_source in ("tracer", "neural"):
             from soundspaces_tpu.tools.rir_synth import PoseTracer
 
             tracer = PoseTracer(
                 assets.graph, cfg.data.sampling_rate, cfg.data.rir_max_len,
                 num_rays=c.num_rays,
             )
+        if c.rir_source == "neural":
+            # distill the tracer into an on-device field at setup, then the
+            # tracer is no longer needed per step
+            from soundspaces_tpu.ops.neural_rir import train_neural_rir_field
+
+            net, params, _, _ = train_neural_rir_field(
+                assets.graph, tracer, cfg.data.sampling_rate,
+                cfg.data.rir_max_len,
+                num_samples=c.neural_distill_samples,
+                steps=c.neural_distill_steps, seed=cfg.data.seed,
+            )
+            neural_field = (net, params)
+            tracer = None
         return ContinuousAudioNavEnv(
             ContinuousConfig(
                 step_size=c.step_size,
@@ -191,7 +205,7 @@ def build_env(
                 step_chunks=c.step_chunks,
             ),
             scene, episodes, num_envs or cfg.trainer.num_envs,
-            tracer=tracer,
+            tracer=tracer, neural_field=neural_field,
         )
     return AudioNavEnv(
         env_cfg, scene, episodes, num_envs or cfg.trainer.num_envs

@@ -70,10 +70,15 @@ class ContinuousOverrides:
     step_time: float = 0.25
     use_crossfade: bool = True
     success_distance: float = 0.36
-    # per-step RIR source: "bank" (precomputed HBM gather) or "tracer"
-    # (fresh native ray trace at the exact pose, SS2.0's AudioSensor)
+    # per-step RIR source: "bank" (precomputed HBM gather), "tracer" (fresh
+    # native ray trace at the exact pose, SS2.0's AudioSensor), "parametric"
+    # (on-device closed-form synthesis), or "neural" (a NeuralRIRField
+    # distilled from the tracer at setup, then served fully on device)
     rir_source: str = "bank"
     num_rays: int = 500  # indirectRayCount (continuous_simulator.py:123)
+    # rir_source="neural" distillation budget (ops/neural_rir.py)
+    neural_distill_samples: int = 512
+    neural_distill_steps: int = 1000
     # live on-device depth rasterization at the exact pose (ops/raycast.py)
     live_depth: bool = False
     # sequential env chunks inside the jitted step (HBM locality past ~128

@@ -38,6 +38,10 @@ from soundspaces_tpu.ops.partitioned import (
 from soundspaces_tpu.ops.stft import spectrogram
 from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGHT
 
+# rir_source values that render a FRESH pose-exact RIR each step (carried in
+# state.rir/prev_rir) rather than gathering the precomputed bank
+FRESH_RIR_SOURCES = ("tracer", "parametric", "neural")
+
 
 @dataclasses.dataclass(frozen=True)
 class ContinuousConfig:
@@ -126,6 +130,7 @@ class ContinuousAudioNavEnv:
         episodes: EpisodeBank,
         num_envs: int,
         tracer=None,  # tools.rir_synth.PoseTracer for rir_source="tracer"
+        neural_field=None,  # (NeuralRIRField, params) for rir_source="neural"
     ):
         self.config = config
         self.scene = scene
@@ -137,8 +142,15 @@ class ContinuousAudioNavEnv:
                 "rir_source='tracer' needs a PoseTracer (tools.rir_synth)"
             )
             assert tracer.rir_max_len == scene.rir_max_len
+        self._neural_net, self._neural_params = (None, None)
+        if config.rir_source == "neural":
+            assert neural_field is not None, (
+                "rir_source='neural' needs (NeuralRIRField, params) — train "
+                "one with ops.neural_rir.train_neural_rir_field"
+            )
+            self._neural_net, self._neural_params = neural_field
         self._band_noise = None
-        if config.rir_source == "parametric":
+        if config.rir_source in ("parametric", "neural"):
             from soundspaces_tpu.ops.parametric_rir import band_noise_tables
 
             self._band_noise = jnp.asarray(
@@ -213,7 +225,7 @@ class ContinuousAudioNavEnv:
         sample0 = jax.random.randint(
             sub2, (), 0, sound_len * scene.sampling_rate
         )
-        fresh_mode = self.config.rir_source in ("tracer", "parametric")
+        fresh_mode = self.config.rir_source in FRESH_RIR_SOURCES
         zero_rir = (
             jnp.zeros((2, scene.rir_max_len), jnp.float32)
             if fresh_mode
@@ -221,7 +233,7 @@ class ContinuousAudioNavEnv:
         )
         tail_shift = (
             jax.random.randint(sub3, (), 0, scene.rir_max_len)
-            if self.config.rir_source == "parametric"
+            if self.config.rir_source in ("parametric", "neural")
             else None
         )
         return ContinuousEnvState(
@@ -268,19 +280,39 @@ class ContinuousAudioNavEnv:
 
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(scene, episodes, rng, env_id)
-        if self.config.rir_source in ("tracer", "parametric"):
+        if self.config.rir_source in FRESH_RIR_SOURCES:
             rir = self._fresh_rir(scene, state)
             state = state.replace(rir=rir, prev_rir=rir)
         return state, self._observe(scene, state)
 
     def _fresh_rir(self, scene, state):
         """Pose-exact RIR at the state's continuous pose: native ray trace
-        (host callback) or on-device parametric synthesis."""
+        (host callback), on-device parametric synthesis, or the distilled
+        neural RIR field (ops/neural_rir.py)."""
         if self.config.rir_source == "tracer":
             return self._traced_rir(
                 scene, state.x, state.z, state.heading, state.goal_node
             )
+        if self.config.rir_source == "neural":
+            return self._neural_rir(scene, state)
         return self._parametric_rir(scene, state)
+
+    def _neural_rir(self, scene, state):
+        """Distilled tracer: MLP-predicted diffuse envelopes + analytic
+        direct path, entirely on device (ops/neural_rir.py)."""
+        from soundspaces_tpu.ops.neural_rir import neural_binaural_rir
+
+        pts = scene.points
+        bbox_min = jnp.stack([pts[:, 0].min(), pts[:, 2].min()])
+        bbox_max = jnp.stack([pts[:, 0].max(), pts[:, 2].max()])
+        return neural_binaural_rir(
+            self._neural_params, self._neural_net,
+            state.x, state.z, state.heading,
+            scene.points[state.goal_node, 0],
+            scene.points[state.goal_node, 2],
+            self._band_noise, bbox_min, bbox_max, state.tail_shift,
+            int(scene.sampling_rate), int(scene.rir_max_len),
+        )
 
     def _step_one(self, scene, episodes, state, action):
         cfg = self.config
@@ -345,7 +377,7 @@ class ContinuousAudioNavEnv:
         )
         fresh = self._load_episode(scene, episodes, state.rng, state.ep_ptr)
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, continued)
-        if self.config.rir_source in ("tracer", "parametric"):
+        if self.config.rir_source in FRESH_RIR_SOURCES:
             # render the merged pose ONCE; the previous pose's RIR is carried
             # (on reset, prev = current so the crossfade is a no-op)
             rir = self._fresh_rir(scene, new_state)
@@ -461,7 +493,7 @@ class ContinuousAudioNavEnv:
         cfg = self.config
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
-        fresh_mode = cfg.rir_source in ("tracer", "parametric")
+        fresh_mode = cfg.rir_source in FRESH_RIR_SOURCES
         seg = self._seg_spectra(scene, state)
         use_fft_bank = not fresh_mode and scene.rir_part_fft is not None
         xf = cfg.use_crossfade

@@ -288,3 +288,30 @@ def test_cli_continuous_train_smoke(tmp_path):
         for l in (model_dir / "train.log").read_text().splitlines()
     ]
     assert len(lines) >= 2 and np.isfinite(lines[-1]["reward"])
+
+
+def test_continuous_neural_builder():
+    """continuous.rir_source=neural: the builder distills the native tracer
+    into a NeuralRIRField at setup and the env serves it on device."""
+    from soundspaces_tpu.builder import build_env
+    from soundspaces_tpu.config import get_config
+    from soundspaces_tpu.tools.rir_synth import native_tracer_available
+
+    if not native_tracer_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    cfg = get_config(opts=[
+        "continuous.enabled=true", "continuous.rir_source=neural",
+        "continuous.neural_distill_samples=48",
+        "continuous.neural_distill_steps=60", "continuous.num_rays=80",
+        "data.num_nodes_hint=20", "data.sampling_rate=4410",
+        "data.rir_max_len=800", "data.image_size=8", "data.num_episodes=16",
+        "env.sensors=[spectrogram]",
+    ])
+    env = build_env(cfg, num_envs=2)
+    import jax
+    import numpy as np
+
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs["spectrogram"])).all()

@@ -297,3 +297,67 @@ def test_fft_bank_fast_path_matches_generic(cont_env):
         np.testing.assert_allclose(ag / scale, bg / scale, atol=2e-3)
         sg, og, *_ = env_g.step(sg, a)
         sf, of, *_ = env_f.step(sf, a)
+
+
+def test_neural_rir_distillation_and_env():
+    """rir_source='neural': a NeuralRIRField distilled from the native
+    tracer (FAST-RIR-style, ops/neural_rir.py) serves pose-exact RIRs on
+    device; distillation loss decreases and the env produces finite,
+    direction-dependent audio."""
+    from soundspaces_tpu.env import make_episode_bank
+    from soundspaces_tpu.ops.neural_rir import (
+        NeuralRIRField,
+        neural_binaural_rir,
+        train_neural_rir_field,
+    )
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.tools.rir_synth import PoseTracer, native_tracer_available
+
+    if not native_tracer_available():
+        pytest.skip("no native toolchain")
+
+    sr, rl = 4000, 1000
+    assets = make_synthetic_assets(
+        num_nodes_hint=24, sampling_rate=sr, rir_max_len=rl, image_size=8,
+        num_sounds=1, max_secs=2, seed=41,
+    )
+    tracer = PoseTracer(assets.graph, sr, rl, num_rays=100, num_threads=2)
+    net, params, loss, first = train_neural_rir_field(
+        assets.graph, tracer, sr, rl, num_samples=96, steps=300, seed=0,
+        net=NeuralRIRField(hidden=64, num_frames=16),
+    )
+    assert loss < first * 0.5, (first, loss)  # distillation learns
+
+    # physics of the synthesized RIR: onset at dist/c, energy near source
+    import jax.numpy as jnp
+    from soundspaces_tpu.ops.parametric_rir import band_noise_tables
+
+    noise = jnp.asarray(band_noise_tables(rl, sr, 0))
+    g = assets.graph
+    bmin = jnp.asarray([g.points[:, 0].min(), g.points[:, 2].min()])
+    bmax = jnp.asarray([g.points[:, 0].max(), g.points[:, 2].max()])
+    rir = neural_binaural_rir(
+        params, net, jnp.float32(g.points[0, 0]), jnp.float32(g.points[0, 2]),
+        jnp.float32(0.0), jnp.float32(g.points[0, 0] + 1.0),
+        jnp.float32(g.points[0, 2]), noise, bmin, bmax, jnp.int32(5), sr, rl,
+    )
+    assert rir.shape == (2, rl) and np.isfinite(np.asarray(rir)).all()
+    onset = int(round(1.0 / 343.0 * sr))
+    pre = np.abs(np.asarray(rir))[:, : max(onset - 3, 1)]
+    assert pre.max() == 0.0  # silence before the direct arrival
+
+    # env integration
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 8, seed=42, min_geodesic_hops=2)
+    env = ContinuousAudioNavEnv(
+        ContinuousConfig(sensors=("audiogoal", "spectrogram"),
+                         rir_source="neural"),
+        scene, episodes, num_envs=2, neural_field=(net, params),
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    ag = np.asarray(obs["audiogoal"])
+    assert ag.shape == (2, 2, sr) and np.isfinite(ag).all()
+    assert (np.abs(ag).max(axis=(1, 2)) > 0).all()
+    for _ in range(3):
+        state, obs, _, _, _ = env.step(state, jnp.ones(2, jnp.int32))
+    assert np.isfinite(np.asarray(obs["spectrogram"])).all()
