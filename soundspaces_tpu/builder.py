@@ -203,6 +203,7 @@ def build_env(
                 live_depth=c.live_depth,
                 depth_size=cfg.data.image_size,
                 step_chunks=c.step_chunks,
+                episode_sampling=env_cfg.episode_sampling,
             ),
             scene, episodes, num_envs or cfg.trainer.num_envs,
             tracer=tracer, neural_field=neural_field,

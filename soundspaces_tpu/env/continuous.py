@@ -9,9 +9,10 @@ previous step's RIR (428-456, 47-53).
 TPU-native: continuous pose (x, z, heading) with occupancy-grid collision;
 the per-pose RIR comes from the HBM bank at the nearest graph node and
 nearest 90-degree azimuth ("bank"), a fresh native C++ ray trace at the
-exact pose via host callback ("tracer", tools/rir_synth.py), or fully
+exact pose via host callback ("tracer", tools/rir_synth.py), fully
 on-device parametric synthesis at the exact pose ("parametric",
-ops/parametric_rir.py). Audio windowing and crossfade follow the
+ops/parametric_rir.py), or a tracer-distilled neural field ("neural",
+ops/neural_rir.py). Audio windowing and crossfade follow the
 reference's sample-cursor semantics exactly, via the partitioned
 convolution with on-the-fly delay-line spectra (computed once per step,
 shared by the crossfade pair; bank mode convolves against the
@@ -83,6 +84,9 @@ class ContinuousConfig:
     # step (lax.map) — large audio batches lose HBM locality (see
     # EnvConfig.step_chunks)
     step_chunks: int = 1
+    # "random" (training) or "sequential" (eval sweeps over a fixed episode
+    # list — EnvConfig.episode_sampling)
+    episode_sampling: str = "random"
 
     @property
     def num_actions(self) -> int:
@@ -211,10 +215,15 @@ class ContinuousAudioNavEnv:
         rot = jnp.round((270.0 - deg) / 90.0).astype(jnp.int32) % 4
         return (4 - rot) % 4
 
+    def _episode_index(self, episodes, rng, ep_ptr):
+        if self.config.episode_sampling == "sequential":
+            return ep_ptr % episodes.num_episodes
+        return jax.random.randint(rng, (), 0, episodes.num_episodes)
+
     def _load_episode(self, scene, episodes, state_rng, ep_ptr):
         ep = episodes
         rng, sub, sub2, sub3 = jax.random.split(state_rng, 4)
-        i = jax.random.randint(sub, (), 0, ep.num_episodes)
+        i = self._episode_index(ep, sub, ep_ptr)
         node = ep.start_node[i]
         geo = ep.geodesic[i]
         heading = jnp.deg2rad(

@@ -361,3 +361,20 @@ def test_neural_rir_distillation_and_env():
     for _ in range(3):
         state, obs, _, _, _ = env.step(state, jnp.ones(2, jnp.int32))
     assert np.isfinite(np.asarray(obs["spectrogram"])).all()
+
+
+def test_sequential_episode_sampling(cont_env):
+    """episode_sampling='sequential': resets sweep the episode list in
+    order (the eval-split behavior, EnvConfig.episode_sampling)."""
+    assets, _ = cont_env
+    episodes = make_episode_bank(assets, 8, seed=42, min_geodesic_hops=2)
+    cfg = ContinuousConfig(sensors=("audiogoal",),
+                           episode_sampling="sequential")
+    env = ContinuousAudioNavEnv(cfg, DeviceScene.from_assets(assets),
+                                episodes, num_envs=2)
+    s1, _ = env.reset(jax.random.PRNGKey(0))
+    s2, _ = env.reset(jax.random.PRNGKey(99))
+    # sequential: the episode does not depend on the rng key
+    np.testing.assert_array_equal(np.asarray(s1.goal_node),
+                                  np.asarray(s2.goal_node))
+    np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
