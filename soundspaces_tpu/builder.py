@@ -98,10 +98,6 @@ def build_env(
             "data.num_scenes > 1 builds synthetic scene sets; for real "
             "multi-scene data stack assets via train.multiscene directly"
         )
-        assert not (getattr(cfg, "continuous", None) and cfg.continuous.enabled), (
-            "multi-scene is discrete-sim only (the reference also drops "
-            "scenes for continuous rendering, env_utils.py:46-48)"
-        )
         import dataclasses
 
         from soundspaces_tpu.train.multiscene import (
@@ -128,11 +124,44 @@ def build_env(
         env_cfg = cfg.env
         if sequential:
             env_cfg = dataclasses.replace(env_cfg, episode_sampling="sequential")
+        base_cls = None
+        if getattr(cfg, "continuous", None) and cfg.continuous.enabled:
+            from soundspaces_tpu.env.continuous import (
+                ContinuousAudioNavEnv,
+                ContinuousConfig,
+            )
+
+            c = cfg.continuous
+            assert c.rir_source in ("bank", "parametric"), (
+                "multi-scene continuous supports bank/parametric RIR "
+                "sources (host tracers and per-scene neural fields don't "
+                "group-dispatch; the reference likewise drops scenes for "
+                "continuous rendering, env_utils.py:46-48)"
+            )
+            base_cls = ContinuousAudioNavEnv
+            env_cfg = ContinuousConfig(
+                step_size=c.step_size,
+                turn_angle_deg=c.turn_angle_deg,
+                step_time=c.step_time,
+                use_crossfade=c.use_crossfade,
+                success_distance=c.success_distance,
+                max_episode_steps=cfg.env.max_episode_steps,
+                slack_reward=cfg.env.slack_reward,
+                success_reward=cfg.env.success_reward,
+                distance_reward_scale=cfg.env.distance_reward_scale,
+                sensors=tuple(cfg.env.sensors),
+                rir_source=c.rir_source,
+                live_depth=c.live_depth,
+                depth_size=cfg.data.image_size,
+                step_chunks=c.step_chunks,
+                episode_sampling=env_cfg.episode_sampling,
+            )
         return MultiSceneEnv(
             env_cfg,
             stack_scenes(assets_list),
             stack_episode_banks(banks),
             num_envs or cfg.trainer.num_envs,
+            base_cls=base_cls,
         )
     assets = assets or build_assets(cfg)
     scene = DeviceScene.from_assets(assets)

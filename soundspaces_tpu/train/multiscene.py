@@ -78,6 +78,7 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
         seg_fft=stack(lambda s: s.seg_fft),
         seg_block_fft=stack(lambda s: s.seg_block_fft),
         sounds=stack(lambda s: s.sounds),
+        sounds_ext=stack(lambda s: s.sounds_ext),
         sound_lengths_sec=stack(lambda s: s.sound_lengths_sec),
         frames=frames,
         grid_size=first.grid_size,
@@ -136,7 +137,8 @@ class MultiSceneEnv:
     stack_scenes); the group dispatch is a static Python loop, so each
     group's bank access is a free view — no dynamic scene gathers on the
     hot path. Exposes the same reset/step/step_pure surface as AudioNavEnv
-    and drops into PPOTrainer unchanged."""
+    and drops into PPOTrainer unchanged. Works with the continuous env too
+    (base_cls=ContinuousAudioNavEnv, bank/parametric RIR sources)."""
 
     def __init__(
         self,
@@ -144,6 +146,7 @@ class MultiSceneEnv:
         scene: DeviceScene,
         episodes: EpisodeBank,
         num_envs: int,
+        base_cls=None,
     ):
         from soundspaces_tpu.env.audionav import AudioNavEnv
 
@@ -157,8 +160,11 @@ class MultiSceneEnv:
         self.episodes = episodes
         scene0 = jax.tree.map(lambda x: x[0], scene)
         ep0 = jax.tree.map(lambda x: x[0], episodes)
-        self.base = AudioNavEnv(config, scene0, ep0,
-                                num_envs // self.num_scenes)
+        # base_cls: AudioNavEnv (default) or ContinuousAudioNavEnv with
+        # rir_source in ("bank", "parametric") — per-step host tracers and
+        # per-scene neural fields don't group-dispatch
+        self.base = (base_cls or AudioNavEnv)(config, scene0, ep0,
+                                              num_envs // self.num_scenes)
         self.config = self.base.config
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)

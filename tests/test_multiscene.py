@@ -262,3 +262,31 @@ def test_cli_multiscene_train(tmp_path):
         for l in (model_dir / "train.log").read_text().splitlines()
     ]
     assert lines and np.isfinite(lines[-1]["reward"])
+
+
+def test_multiscene_continuous():
+    """Multi-scene CONTINUOUS training env: scene groups dispatch the
+    continuous step (bank RIR source); per-group audio is finite and agents
+    navigate their own scene's geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soundspaces_tpu.builder import build_env
+    from soundspaces_tpu.config import get_config
+
+    cfg = get_config(opts=[
+        "continuous.enabled=true",
+        "data.num_scenes=2", "data.num_nodes_hint=16",
+        "data.sampling_rate=4410", "data.rir_max_len=800",
+        "data.image_size=8", "data.num_episodes=8",
+        "env.sensors=[spectrogram,pointgoal_with_gps_compass]",
+    ])
+    env = build_env(cfg, num_envs=4)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["spectrogram"].shape[0] == 4
+    assert np.isfinite(np.asarray(obs["spectrogram"])).all()
+    for _ in range(3):
+        state, obs, r, d, info = env.step(state, jnp.ones(4, jnp.int32))
+        assert np.isfinite(np.asarray(r)).all()
+    assert "collisions" in info
