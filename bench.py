@@ -253,7 +253,10 @@ def main():
                     [sys.executable, os.path.abspath(__file__), "--single", arg],
                     capture_output=True,
                     text=True,
-                    timeout=900,
+                    # first compile of the primary config has been measured
+                    # past 900 s when the tunnel is degraded; give the
+                    # north-star rung room before falling down the ladder
+                    timeout=1500,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 tail = "\n".join(proc.stderr.strip().splitlines()[-3:])
