@@ -253,3 +253,57 @@ def test_memory_sharded_attention_exact():
     for g in grads:
         assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(g).sum()) > 0
+
+
+def test_sharded_scene_banks_exact():
+    """MP3D-scale HBM path: scene banks sharded over a mesh axis on the
+    node dimension produce IDENTICAL env observations (XLA inserts the
+    gather collectives), and each device holds 1/N of the RIR bank."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from soundspaces_tpu.env import AudioNavEnv, DeviceScene, EnvConfig, make_episode_bank
+    from soundspaces_tpu.env.sharding import bank_bytes_per_device, shard_scene_banks
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.scene.graph import MOVE_FORWARD
+
+    # hint=80/seed=5 yields exactly 80 walkable nodes -> true 8-way split
+    assets = make_synthetic_assets(
+        num_nodes_hint=80, sampling_rate=4000, rir_max_len=1500,
+        image_size=8, num_sounds=2, max_secs=2, seed=5,
+    )
+    scene = DeviceScene.from_assets(assets)
+    n = scene.points.shape[0]
+    assert n % 8 == 0, n
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs), ("bank",))
+    sharded = shard_scene_banks(mesh, scene, "bank")
+    # each device holds 1/N of the node axis
+    shard_shapes = [s.data.shape for s in sharded.rir.addressable_shards]
+    assert shard_shapes[0][1] == n // len(devs)
+    assert bank_bytes_per_device(scene, len(devs)) < (
+        bank_bytes_per_device(scene, 1)
+    ) or len(devs) == 1
+
+    episodes = make_episode_bank(assets, 16, seed=4, min_geodesic_hops=2)
+    cfg = EnvConfig(sensors=("spectrogram", "depth"))
+    env_r = AudioNavEnv(cfg, scene, episodes, 4)
+    env_s = AudioNavEnv(cfg, sharded, episodes, 4)
+    sr_state, obs_r = env_r.reset(jax.random.PRNGKey(0))
+    ss_state, obs_s = env_s.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(obs_r["spectrogram"]), np.asarray(obs_s["spectrogram"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    for _ in range(3):
+        sr_state, obs_r, r1, d1, _ = env_r.step(
+            sr_state, jnp.full((4,), MOVE_FORWARD)
+        )
+        ss_state, obs_s, r2, d2, _ = env_s.step(
+            ss_state, jnp.full((4,), MOVE_FORWARD)
+        )
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(obs_r["spectrogram"]),
+            np.asarray(obs_s["spectrogram"]), rtol=1e-5, atol=1e-5,
+        )
