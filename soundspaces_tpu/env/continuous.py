@@ -67,7 +67,9 @@ class ContinuousConfig:
     # design (so is the reference's CPU ray tracer). "parametric" synthesizes
     # the RIR at the exact pose ON DEVICE (ops/parametric_rir.py: image-source
     # reflections + Sabine 4-band tails) — pose-exact like the tracer but
-    # jit/vmap-native, so it runs at full TPU batch rates
+    # jit/vmap-native, so it runs at full TPU batch rates. "neural" serves a
+    # tracer-distilled MLP field (ops/neural_rir.py) — pose-exact, learned,
+    # and fully on device (pass neural_field=(net, params) to the env)
     rir_source: str = "bank"
     # parametric-mode acoustics (4 bands, the ray tracer's band count):
     # per-band mean surface absorption (tools/materials.py spectra), room
