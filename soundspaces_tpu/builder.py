@@ -98,6 +98,10 @@ def build_env(
             "data.num_scenes > 1 builds synthetic scene sets; for real "
             "multi-scene data stack assets via train.multiscene directly"
         )
+        assert episodes is None, (
+            "an explicit episode bank cannot be combined with the "
+            "num_scenes > 1 synthetic branch (it would be silently ignored)"
+        )
         import dataclasses
 
         from soundspaces_tpu.train.multiscene import (

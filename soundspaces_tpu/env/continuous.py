@@ -142,6 +142,11 @@ class ContinuousAudioNavEnv:
         self.scene = scene
         self.episodes = episodes
         self.num_envs = num_envs
+        assert num_envs % config.step_chunks == 0, (
+            f"num_envs={num_envs} must be divisible by "
+            f"step_chunks={config.step_chunks} (the chunked HBM-locality "
+            "path would silently be dropped otherwise)"
+        )
         self._tracer = tracer
         if config.rir_source == "tracer":
             assert tracer is not None, (

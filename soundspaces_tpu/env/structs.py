@@ -66,8 +66,8 @@ class DeviceScene:
 
     points: jax.Array  # [N, 3] f32
     forward_neighbor: jax.Array  # [N, 4] i32
-    geodesic_hops: jax.Array  # [N, N] i32
-    oracle_next: jax.Array  # [N, N] i32 next-hop node toward goal
+    geodesic_hops: jax.Array  # [N, N] i16 (UNREACHABLE = 2^15-1 fits)
+    oracle_next: jax.Array  # [N, N] i16 next-hop node toward goal
     rir: jax.Array  # [4, N, G, 2, L] f32
     goal_slot_of_node: jax.Array  # [N] i32
     seg_fft: jax.Array  # [S, secs, F] c64 (single-FFT conv path)

@@ -223,6 +223,12 @@ class SAViTrainer:
 
         results = []
         waited = 0.0
+        # template pytrees for orbax restore: only their structure is needed,
+        # so build them once rather than re-initializing (and retracing the
+        # init jits) for every checkpoint polled
+        params0, opt_state0, bparams0, _, _ = self.init_state(
+            jax.random.PRNGKey(seed)
+        )
         while True:
             ckpt = poll_checkpoint_folder(checkpoint_folder, prev_ckpt_ind)
             if ckpt is None:
@@ -235,11 +241,8 @@ class SAViTrainer:
             prev_ckpt_ind += 1
             if prev_ckpt_ind % eval_interval != 0:
                 continue
-            params, opt_state, bparams, _, _ = self.init_state(
-                jax.random.PRNGKey(seed)
-            )
             params, _, bparams, update = self.load_checkpoint(
-                ckpt, params, opt_state, bparams
+                ckpt, params0, opt_state0, bparams0
             )
             stats = self.evaluate(params, bparams, num_episodes=num_episodes)
             stats["update"] = float(update)

@@ -58,8 +58,8 @@ class SceneGraph:
 
     points: np.ndarray  # [N, 3] float32 node positions (x, y, z)
     forward_neighbor: np.ndarray  # [N, 4] int32, -1 = blocked
-    geodesic_hops: np.ndarray  # [N, N] int32, UNREACHABLE if disconnected
-    oracle_action: np.ndarray  # [N, N] int8 action toward goal (STOP at goal)
+    geodesic_hops: np.ndarray  # [N, N] int16, UNREACHABLE if disconnected
+    oracle_action: np.ndarray  # [N, N] int16 next-hop node toward goal (-1 at goal)
     grid_size: float = 0.5
 
     @property
@@ -164,7 +164,7 @@ class SceneGraph:
         oracle = self.oracle_action[np.ix_(keep, keep)]
         oracle = np.where(
             oracle >= 0, remap[np.maximum(oracle, 0)], -1
-        ).astype(np.int32)
+        ).astype(np.int16)
         return SceneGraph(
             self.points[keep],
             fwd,
@@ -175,23 +175,40 @@ class SceneGraph:
 
 
 def _all_pairs_bfs(n: int, adj: list[list[int]]):
-    """Unweighted all-pairs shortest paths; returns (hops [N,N] int32,
+    """Unweighted all-pairs shortest paths; returns (hops [N,N] int16,
     parent [N,N] int32) where parent[g, v] is the BFS predecessor of v in the
-    tree rooted at g (i.e. the next hop from v toward g)."""
-    hops = np.full((n, n), UNREACHABLE, np.int32)
+    tree rooted at g (i.e. the next hop from v toward g).
+
+    Vectorized via scipy.sparse.csgraph in root-chunks so 10k+-node MP3D
+    scenes build in seconds and the resident table is int16 (the survey's
+    10k-node scene then costs 2 x 200 MB instead of 2 x 400 MB; node ids and
+    hop counts both fit in int16 — UNREACHABLE is 2^15 - 1)."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import breadth_first_order  # noqa: F401 (doc)
+    from scipy.sparse.csgraph import shortest_path
+
+    assert n < 2**15, "int16 node-id tables cap scenes at 32767 nodes"
+    rows = np.repeat(
+        np.arange(n, dtype=np.int64), [len(a) for a in adj]
+    )
+    cols = np.concatenate([np.asarray(a, np.int64) for a in adj]) if n else (
+        np.zeros(0, np.int64)
+    )
+    g = csr_matrix(
+        (np.ones(rows.shape[0], np.int8), (rows, cols)), shape=(n, n)
+    )
+    hops = np.full((n, n), UNREACHABLE, np.int16)
     parent = np.full((n, n), -1, np.int32)
-    for root in range(n):
-        hops[root, root] = 0
-        frontier = [root]
-        while frontier:
-            nxt = []
-            for u in frontier:
-                for v in adj[u]:
-                    if hops[root, v] == UNREACHABLE:
-                        hops[root, v] = hops[root, u] + 1
-                        parent[root, v] = u
-                        nxt.append(v)
-            frontier = nxt
+    chunk = 1024
+    for lo in range(0, n, chunk):
+        roots = np.arange(lo, min(lo + chunk, n))
+        dist, pred = shortest_path(
+            g, method="D", unweighted=True, indices=roots,
+            return_predecessors=True,
+        )
+        reach = np.isfinite(dist)
+        hops[roots] = np.where(reach, dist, float(UNREACHABLE)).astype(np.int16)
+        parent[roots] = np.where(pred >= 0, pred, -1).astype(np.int32)
     return hops, parent
 
 
@@ -203,4 +220,4 @@ def _oracle_actions(points, fwd, hops, parent):
     n = points.shape[0]
     nxt = parent.T.copy()  # next_hop[v, g] = parent[g, v]
     np.fill_diagonal(nxt, -1)
-    return nxt.astype(np.int32)
+    return nxt.astype(np.int16)

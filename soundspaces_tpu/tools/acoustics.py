@@ -31,29 +31,31 @@ def measure_rt60(
 ) -> jax.Array:
     """Reverberation time via Schroeder backward integration.
 
-    Fits the time for the Schroeder energy-decay curve to fall from -5 dB
-    to -(5 + decay_db) dB below its peak and extrapolates to the 60 dB
+    Least-squares-fits the Schroeder energy-decay curve over its -5 dB to
+    -(5 + decay_db) dB region and extrapolates the fitted slope to the 60 dB
     decay time (the T30 estimate pyroomacoustics' measure_rt60 computes in
-    the reference tutorial). Returns seconds, shape rir.shape[:-1].
+    the reference tutorial; a masked linear regression, still jit/vmap-able,
+    rather than two threshold-crossing samples — robust on noisy or
+    early-energy-light RIRs). Returns seconds, shape rir.shape[:-1].
     """
     energy = rir.astype(jnp.float32) ** 2
     # Schroeder integral: E(t) = sum_{u>=t} e(u), descending cumsum
     sch = jnp.cumsum(energy[..., ::-1], axis=-1)[..., ::-1]
     db = 10.0 * jnp.log10(jnp.maximum(sch, 1e-20))
     db = db - db[..., :1]  # 0 dB at t=0
-    # first sample at/below -5 dB and -(5+decay_db) dB
-    t = jnp.arange(rir.shape[-1])
-
-    def first_below(threshold):
-        mask = db <= threshold
-        big = jnp.int32(rir.shape[-1] - 1)
-        idx = jnp.where(mask, t, big)
-        return jnp.min(idx, axis=-1)
-
-    i5 = first_below(-5.0)
-    i_lo = first_below(-5.0 - decay_db)
-    slope_samples = jnp.maximum(i_lo - i5, 1)
-    rt60 = slope_samples.astype(jnp.float32) * (60.0 / decay_db)
+    t = jnp.arange(rir.shape[-1], dtype=jnp.float32)
+    # masked least squares of db ~ a + b*t over the -5..-(5+decay_db) window
+    mask = (db <= -5.0) & (db >= -5.0 - decay_db)
+    w = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w, axis=-1), 2.0)
+    st = jnp.sum(w * t, axis=-1)
+    sd = jnp.sum(w * db, axis=-1)
+    stt = jnp.sum(w * t * t, axis=-1)
+    std = jnp.sum(w * t * db, axis=-1)
+    denom = n * stt - st * st
+    slope = (n * std - st * sd) / jnp.where(denom > 0, denom, 1.0)  # dB/sample
+    slope = jnp.minimum(slope, -1e-12)  # decay curves are non-increasing
+    rt60 = -60.0 / slope
     return rt60 / sampling_rate
 
 

@@ -41,12 +41,20 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
     n_max = max(s.points.shape[0] for s in scenes)
     g_max = max(s.rir.shape[2] for s in scenes)
 
-    def stack(get, fill=0):
+    def stack(get, fill=0, edge=False):
         arrs = [np.asarray(get(s)) for s in scenes]
         target = tuple(max(a.shape[i] for a in arrs) for i in range(arrs[0].ndim))
         out = []
         for a in arrs:
-            if fill != 0:
+            if edge:
+                # replicate the last valid entry instead of zero-filling:
+                # padded nodes then alias a real node, so nearest-node
+                # searches, walkability checks and bbox reductions over the
+                # padded axis are unaffected (phantom nodes at the origin
+                # were reachable through _walkable/_nearest_node otherwise)
+                pads = [(0, t - s_) for s_, t in zip(a.shape, target)]
+                out.append(np.pad(a, pads, mode="edge"))
+            elif fill != 0:
                 padded = np.full(target, fill, a.dtype)
                 padded[tuple(slice(0, d) for d in a.shape)] = a
                 out.append(padded)
@@ -62,8 +70,8 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
     }
     return DeviceScene(
         occupancy=stack(lambda s: s.occupancy),
-        node_grid_xz=stack(lambda s: s.node_grid_xz),
-        points=stack(lambda s: s.points),
+        node_grid_xz=stack(lambda s: s.node_grid_xz, edge=True),
+        points=stack(lambda s: s.points, edge=True),
         forward_neighbor=stack(lambda s: s.forward_neighbor, fill=-1),
         geodesic_hops=stack(lambda s: s.geodesic_hops, fill=int(UNREACHABLE)),
         oracle_next=stack(lambda s: s.oracle_next, fill=-1),
