@@ -4,9 +4,20 @@ jitted program.
 
 One policy step = choose an action-map cell (81-way; center = STOP,
 mapnav_env.py:60), then an inner `lax.scan` of up to PREDICTION_INTERVAL
-low-level steps walks toward the waypoint using the scene's precomputed
-next-hop tables, accumulating reward and updating the geometric/acoustic
-maps, breaking (by masking) on waypoint-reached or episode-done."""
+low-level steps walks toward the waypoint, accumulating reward and updating
+the geometric/acoustic maps, breaking (by masking) on waypoint-reached,
+cant-reach or episode-done.
+
+Partial observability (the reference's actual setting): with
+`plan_from_map` (default) the egomap is the depth-camera projection
+(ops/egomap.py), the waypoint mask comes from a bounded BFS over the
+agent-BUILT map (avwan/planner.py — planner.check_navigability,
+planner.py:142-168), low-level actions greedily descend a per-step
+re-planned BFS distance field on that map (planner.plan, 88-130), collisions
+write obstacle evidence into the map (the reference's graph-edge removal,
+151-162), and unreachable waypoints raise `cant_reach_waypoint`
+(mapnav_env.py:56-106). Ground-truth table planning (plan_from_map=False)
+remains as the test oracle."""
 
 from __future__ import annotations
 
@@ -40,6 +51,13 @@ from soundspaces_tpu.scene.graph import (
 class WaypointConfig:
     prediction_interval: int = 10  # av_wan/config/default.py:54
     mapper: MapperConfig = dataclasses.field(default_factory=MapperConfig)
+    # True (default): masks + low-level plans derive from the agent-built
+    # map via bounded BFS and egomaps come from depth projection — the
+    # reference's partially-observed setting. False: ground-truth
+    # next-hop/navigability tables (test oracle).
+    plan_from_map: bool = True
+    plan_window: int = 17  # planning window, 0.5 m cells (odd)
+    egomap_depth_hw: int = 64  # depth-render resolution for the projection
 
     @property
     def num_waypoints(self) -> int:
@@ -176,47 +194,122 @@ class WaypointNavEnv:
     def _update_maps(self, scene, tables, state: WaypointState) -> WaypointState:
         m = self.wp.mapper
         base = state.base
-        # egomap: crop of the true occupancy grid around the agent (the
-        # discrete-sim equivalent of the depth-projected EgoMap sensor,
-        # soundspaces/tasks/nav.py:235-405), agent-facing-up
         e = m.egomap_size
         scale = int(round(0.5 / m.map_resolution))
         gz = tables.node_cell_z[base.node] * scale + scale // 2
         gx = tables.node_cell_x[base.node] * scale + scale // 2
-        occ = jax.lax.dynamic_slice(
-            tables.occupancy,
-            (
-                jnp.clip(gz - e // 2, 0, tables.occupancy.shape[0] - e),
-                jnp.clip(gx - e // 2, 0, tables.occupancy.shape[1] - e),
-            ),
-            (e, e),
-        )
-        ego = jnp.stack([1.0 - occ, jnp.ones_like(occ)], axis=-1)  # obstacle, explored
-        # world->ego rotation is undone at registration; pass allocentric
         cell_x, cell_z = self._agent_cells(scene, tables, base)
-        scale_cells = scale
-        mapper = register_egomap(
-            m, state.mapper, ego, cell_x * scale_cells, cell_z * scale_cells,
-            jnp.int32(0),
-        )
+        if self.wp.plan_from_map:
+            # the reference's actual sensor path: render depth at the pose
+            # and project it through the camera intrinsics (nav.py:235-405)
+            from soundspaces_tpu.ops.egomap import egomap_at_pose
+
+            res = m.map_resolution
+            ego = egomap_at_pose(
+                tables.occupancy,
+                gx.astype(jnp.float32) * res, gz.astype(jnp.float32) * res,
+                jnp.deg2rad(270.0 - 90.0 * base.rot_idx.astype(jnp.float32)),
+                map_size=e, resolution=res,
+                depth_hw=self.wp.egomap_depth_hw,
+            )
+            mapper = register_egomap(
+                m, state.mapper, ego, cell_x * scale, cell_z * scale,
+                base.rot_idx,
+            )
+            # the agent's own footprint is known free space (it stands
+            # there) — the reference planner always includes the agent
+            # position in its graph (planner.py:170-209)
+            mapper = _mark_visited(m, mapper, cell_x * scale, cell_z * scale)
+            # collision evidence: the cell ahead is an obstacle — the
+            # reference's collision-driven graph edit (planner.py:151-162)
+            mapper = jax.lax.cond(
+                base.collided,
+                lambda mp: _mark_blocked_ahead(
+                    m, mp, cell_x * scale, cell_z * scale, base.rot_idx, scale
+                ),
+                lambda mp: mp,
+                mapper,
+            )
+        else:
+            # test oracle: crop of the true occupancy grid around the agent
+            occ = jax.lax.dynamic_slice(
+                tables.occupancy,
+                (
+                    jnp.clip(gz - e // 2, 0, tables.occupancy.shape[0] - e),
+                    jnp.clip(gx - e // 2, 0, tables.occupancy.shape[1] - e),
+                ),
+                (e, e),
+            )
+            ego = jnp.stack([1.0 - occ, jnp.ones_like(occ)], axis=-1)
+            # world->ego rotation is undone at registration; pass allocentric
+            mapper = register_egomap(
+                m, state.mapper, ego, cell_x * scale, cell_z * scale,
+                jnp.int32(0),
+            )
         # acoustic map intensity (avwan_sensors.py:91-100)
         audio = self.base._audiogoal(scene, base)
         intensity = _intensity(audio)
         mapper = register_intensity(m, mapper, intensity, cell_x, cell_z)
         return state.replace(mapper=mapper)
 
-    def _action_mask(self, scene, tables, base: EnvState) -> jax.Array:
-        """Navigable waypoints: target cell holds a node reachable from the
-        agent (planner.check_navigability, planner.py:142-168); the center
-        (STOP) is always allowed."""
+    def _action_cell_offsets(self, base: EnvState):
+        """Allocentric (dx, dz) 0.5 m-cell offsets of every action-map cell
+        (ego frame: agent faces up, +col right — planner.py:132-141)."""
         a = self.wp.mapper.action_map_size
         idxs = jnp.arange(a * a)
         rows, cols = idxs // a, idxs % a
-        tnode = self._waypoint_node(scene, tables, base, rows, cols)
-        reachable = (tnode >= 0) & (
-            scene.geodesic_hops[base.node, jnp.maximum(tnode, 0)] < UNREACHABLE
+        rel_f = -(rows - a // 2)
+        rel_r = cols - a // 2
+        th = jnp.deg2rad(270.0 - 90.0 * base.rot_idx.astype(jnp.float32))
+        fwd = jnp.stack([jnp.cos(th), jnp.sin(th)])
+        right = jnp.stack([jnp.cos(th + jnp.pi / 2), jnp.sin(th + jnp.pi / 2)])
+        dx = jnp.round(rel_f * fwd[0] + rel_r * right[0]).astype(jnp.int32)
+        dz = jnp.round(rel_f * fwd[1] + rel_r * right[1]).astype(jnp.int32)
+        return dx, dz
+
+    def _free_window(self, tables, state: WaypointState):
+        """Planning-cell free mask around the agent from the agent-built
+        map (avwan/planner.py)."""
+        from soundspaces_tpu.avwan.planner import coarse_free_window
+
+        base = state.base
+        cell_x = tables.node_cell_x[base.node] - tables.node_cell_x[base.start_node]
+        cell_z = tables.node_cell_z[base.node] - tables.node_cell_z[base.start_node]
+        scale = int(round(0.5 / self.wp.mapper.map_resolution))
+        return coarse_free_window(
+            state.mapper.geometric, cell_x, cell_z,
+            window=self.wp.plan_window, scale=scale,
         )
-        mask = reachable.astype(jnp.float32)
+
+    def _action_mask(self, scene, tables, state: WaypointState) -> jax.Array:
+        """Navigable waypoints. plan_from_map: BFS over the agent-built map
+        (check_navigability, planner.py:142-168) — the mask TIGHTENS to what
+        the agent has actually mapped. Oracle mode: true-table reachability.
+        The center (STOP) is always allowed."""
+        base = state.base
+        a = self.wp.mapper.action_map_size
+        idxs = jnp.arange(a * a)
+        rows, cols = idxs // a, idxs % a
+        if self.wp.plan_from_map:
+            from soundspaces_tpu.avwan.planner import reachable_from_center
+
+            free = self._free_window(tables, state)
+            reach = reachable_from_center(free)
+            dx, dz = self._action_cell_offsets(base)
+            w = self.wp.plan_window
+            c = w // 2
+            rr = jnp.clip(c + dz, 0, w - 1)
+            cc = jnp.clip(c + dx, 0, w - 1)
+            inb = (jnp.abs(dz) <= c) & (jnp.abs(dx) <= c)
+            mask = (reach[rr, cc] > 0.5) & inb
+            mask = mask.astype(jnp.float32)
+        else:
+            tnode = self._waypoint_node(scene, tables, base, rows, cols)
+            reachable = (tnode >= 0) & (
+                scene.geodesic_hops[base.node, jnp.maximum(tnode, 0)]
+                < UNREACHABLE
+            )
+            mask = reachable.astype(jnp.float32)
         return mask.at[a * a // 2].set(1.0)
 
     def _waypoint_node(self, scene, tables, base: EnvState, rows, cols):
@@ -250,6 +343,40 @@ class WaypointNavEnv:
         act = jnp.where(delta == 0, MOVE_FORWARD, turn)
         return jnp.where((nxt < 0) | ~has_dir, TURN_LEFT, act)
 
+    def _map_plan_action(self, tables, st: WaypointState, target_cell_xz):
+        """Greedy descent on a BFS distance field over the agent-built map,
+        RE-PLANNED from the current map every low-level step (the reference
+        planner re-plans per step with the edited graph, planner.py:88-130).
+        Returns (action, stuck) — stuck means the map offers no path."""
+        from soundspaces_tpu.avwan.planner import (
+            INF,
+            descend_step,
+            distance_field,
+        )
+
+        base = st.base
+        free = self._free_window(tables, st)
+        w = self.wp.plan_window
+        c = w // 2
+        # target in the window (centered at the agent's current cell)
+        tdx = target_cell_xz[0] - tables.node_cell_x[base.node]
+        tdz = target_cell_xz[1] - tables.node_cell_z[base.node]
+        inb = (jnp.abs(tdx) <= c) & (jnp.abs(tdz) <= c)
+        trc = jnp.stack(
+            [jnp.clip(c + tdz, 0, w - 1), jnp.clip(c + tdx, 0, w - 1)]
+        )
+        dist = distance_field(free, trc)
+        dir_idx, improves = descend_step(dist, jnp.array([c, c]))
+        # dir (N,S,W,E) = world (-z, +z, -x, +x) -> rotation whose FORWARD
+        # faces it (orientation 270-90r: r=0 -> -z, 1 -> -x, 2 -> +z, 3 -> +x)
+        rot_for_dir = jnp.asarray([0, 2, 1, 3], jnp.int32)
+        target_rot = rot_for_dir[dir_idx]
+        delta = (target_rot - base.rot_idx) % 4
+        turn = jnp.where(delta <= 2, TURN_LEFT, TURN_RIGHT)
+        act = jnp.where(delta == 0, MOVE_FORWARD, turn)
+        stuck = ~improves | ~inb
+        return act, stuck
+
     def _step_one(self, scene, episodes, tables, state: WaypointState, waypoint):
         wp = self.wp
         a = wp.mapper.action_map_size
@@ -258,13 +385,42 @@ class WaypointNavEnv:
             scene, tables, state.base, waypoint // a, waypoint % a
         )
         target = jnp.where(target < 0, state.base.node, target)
+        # target's absolute 0.5 m-cell coords (map planning addresses cells)
+        dx, dz = self._action_cell_offsets(state.base)
+        wsel = waypoint
+        target_cell_xz = jnp.stack(
+            [
+                tables.node_cell_x[state.base.node] + dx[wsel],
+                tables.node_cell_z[state.base.node] + dz[wsel],
+            ]
+        )
+
+        def at_cell(base):
+            # "arrived" = the agent occupies the chosen MAP CELL (the
+            # reference compares map positions, mapnav_env.py:78-84); the
+            # node-id comparison would silently treat un-noded (wall) cells
+            # as reached via the coerced fallback target
+            return (tables.node_cell_x[base.node] == target_cell_xz[0]) & (
+                tables.node_cell_z[base.node] == target_cell_xz[1]
+            )
 
         def inner(carry, _):
-            st, total_r, done, reached = carry
-            act = jnp.where(
-                is_stop, STOP, self._low_level_action(scene, st.base, target)
-            )
-            active = ~(done | reached)
+            st, total_r, done, reached, cant = carry
+            if wp.plan_from_map:
+                plan_act, stuck = self._map_plan_action(
+                    tables, st, target_cell_xz
+                )
+                act = jnp.where(is_stop, STOP, plan_act)
+                at_target = at_cell(st.base)
+            else:
+                act = jnp.where(
+                    is_stop, STOP,
+                    self._low_level_action(scene, st.base, target),
+                )
+                stuck = jnp.bool_(False)
+                at_target = st.base.node == target
+            newly_cant = stuck & ~at_target & ~is_stop
+            active = ~(done | reached | cant | newly_cant)
             base2, _, r, d, info = self.base._step_one(
                 scene, episodes, st.base, act
             )
@@ -278,19 +434,28 @@ class WaypointNavEnv:
             total_r = total_r + jnp.where(active, r, 0.0)
             newly_done = active & d
             done = done | newly_done
-            reached = reached | (active & (base2.node == target) & ~d)
+            arrived = at_cell(base2) if wp.plan_from_map else (
+                base2.node == target
+            )
+            reached = reached | (active & arrived & ~d)
+            cant = cant | newly_cant
             info = jax.tree.map(lambda x: x, info)
-            return (st2, total_r, done, reached), (info, newly_done)
+            return (st2, total_r, done, reached, cant), (info, newly_done)
 
         init = (
             state,
             jnp.float32(0.0),
             jnp.bool_(False),
             jnp.bool_(False),
+            jnp.bool_(False),
         )
-        (state, reward, done, reached), (infos, newly_done) = jax.lax.scan(
+        (state, reward, done, reached, cant), (infos, newly_done) = jax.lax.scan(
             inner, init, None, length=wp.prediction_interval
         )
+        # an unreachable waypoint still costs one step of slack (the
+        # reference's inner loop breaks but the env time advanced,
+        # mapnav_env.py:56-106)
+        reward = reward + jnp.where(cant, self.cfg.slack_reward, 0.0)
         # the info at the step where the episode finished (or the last one)
         last_idx = jnp.where(
             jnp.any(newly_done), jnp.argmax(newly_done), wp.prediction_interval - 1
@@ -298,7 +463,7 @@ class WaypointNavEnv:
         info = jax.tree.map(lambda x: x[last_idx], infos)
         info = info | {
             "reaching_waypoint": (reached | done).astype(jnp.float32),
-            "cant_reach_waypoint": jnp.float32(0.0),
+            "cant_reach_waypoint": cant.astype(jnp.float32),
         }
         # auto-reset: the base env already reset itself on done; rebuild maps
         fresh_mapper = MapperState.zeros(wp.mapper)
@@ -327,7 +492,7 @@ class WaypointNavEnv:
         audio = self.base._audiogoal(scene, base)
         from soundspaces_tpu.ops.stft import spectrogram
 
-        mask = self._action_mask(scene, tables, base)
+        mask = self._action_mask(scene, tables, state)
         return {
             "spectrogram": spectrogram(audio),
             "gm": crops["gm"],
@@ -338,6 +503,45 @@ class WaypointNavEnv:
             "intensity": _intensity(audio)[None],
             "collision": base.collided.astype(jnp.float32)[None],
         }
+
+
+def _mark_visited(cfg, mapper: MapperState, gx_cells, gz_cells) -> MapperState:
+    """Write the agent's own 3x3 footprint (0.1 m cells) as explored free
+    space — traversed ground is known navigable (the reference planner keeps
+    the agent position in its graph, planner.py:170-209)."""
+    m = cfg.internal_map_size
+    row = jnp.clip(m // 2 + gz_cells - 1, 0, m - 3).astype(jnp.int32)
+    col = jnp.clip(m // 2 + gx_cells - 1, 0, m - 3).astype(jnp.int32)
+    patch = jax.lax.dynamic_slice(mapper.geometric, (row, col, 0), (3, 3, 2))
+    patch = patch.at[..., 1].set(1.0)  # explored
+    patch = patch.at[..., 0].set(0.0)  # and free of obstacle evidence
+    return mapper.replace(
+        geometric=jax.lax.dynamic_update_slice(
+            mapper.geometric, patch, (row, col, 0)
+        )
+    )
+
+
+def _mark_blocked_ahead(
+    cfg, mapper: MapperState, gx_cells, gz_cells, rot_idx, scale
+) -> MapperState:
+    """Collision evidence: stamp the planning cell directly ahead as an
+    explored obstacle (the reference removes that graph node on collision,
+    planner.py:151-162; it returns on map reset, 44-53)."""
+    th = jnp.deg2rad(270.0 - 90.0 * rot_idx.astype(jnp.float32))
+    dx = jnp.round(jnp.cos(th)).astype(jnp.int32) * scale
+    dz = jnp.round(jnp.sin(th)).astype(jnp.int32) * scale
+    m = cfg.internal_map_size
+    row = jnp.clip(m // 2 + gz_cells + dz - 1, 0, m - 3).astype(jnp.int32)
+    col = jnp.clip(m // 2 + gx_cells + dx - 1, 0, m - 3).astype(jnp.int32)
+    patch = jax.lax.dynamic_slice(mapper.geometric, (row, col, 0), (3, 3, 2))
+    patch = patch.at[..., 1].set(1.0)
+    patch = patch.at[..., 0].set(1.0)
+    return mapper.replace(
+        geometric=jax.lax.dynamic_update_slice(
+            mapper.geometric, patch, (row, col, 0)
+        )
+    )
 
 
 def _intensity(audiogoal: jax.Array) -> jax.Array:

@@ -30,9 +30,8 @@ def build_assets(cfg: ExperimentConfig) -> SceneAssets:
             seed=d.seed,
         )
     graph = SceneGraph.from_metadata(d.metadata_dir, d.grid_size)
-    sounds, names = load_source_sounds(d.source_sound_dir, d.sampling_rate)
-    lengths = np.maximum(
-        np.array([s.shape[0] // d.sampling_rate for s in [sounds[i] for i in range(sounds.shape[0])]], np.int32), 1
+    sounds, names, lengths = load_source_sounds(
+        d.source_sound_dir, d.sampling_rate
     )
     goal_nodes = discover_goal_nodes(d.binaural_rir_dir, graph)
     acoustics = AcousticBank.from_rir_dir(
@@ -49,30 +48,35 @@ def build_assets(cfg: ExperimentConfig) -> SceneAssets:
 
 def load_source_sounds(sound_dir: str, sampling_rate: int):
     """Load mono source wavs (the reference uses librosa.load with
-    resampling, simulator.py:579-600; we require matching sample rates)."""
+    resampling, simulator.py:579-600; mismatched rates are resampled via
+    tools.reference_format.resample). Returns (waves [S, max_samples]
+    zero-padded to whole seconds, names, lengths_sec [S] true per-sound
+    durations in whole seconds)."""
     from scipy.io import wavfile
+
+    from soundspaces_tpu.tools.reference_format import resample
 
     names, waves = [], []
     for fname in sorted(os.listdir(sound_dir)):
         if not fname.endswith(".wav"):
             continue
         sr, data = wavfile.read(os.path.join(sound_dir, fname))
-        assert sr == sampling_rate, (
-            f"{fname}: expected {sampling_rate} Hz, got {sr} "
-            "(resample offline; librosa is unavailable in this build)"
-        )
         if data.dtype.kind == "i":
             data = data.astype(np.float32) / np.iinfo(data.dtype).max
         if data.ndim > 1:
             data = data.mean(axis=1)
+        if sr != sampling_rate:
+            data = resample(data, sr, sampling_rate)
         names.append(fname[: -len(".wav")])
         waves.append(data.astype(np.float32))
-    max_len = max(w.shape[0] for w in waves)
-    max_len = -(-max_len // sampling_rate) * sampling_rate
+    lengths = np.array(
+        [max(-(-w.shape[0] // sampling_rate), 1) for w in waves], np.int32
+    )
+    max_len = int(lengths.max()) * sampling_rate
     out = np.zeros((len(waves), max_len), np.float32)
     for i, w in enumerate(waves):
         out[i, : w.shape[0]] = w
-    return out, names
+    return out, names, lengths
 
 
 def discover_goal_nodes(binaural_rir_dir: str, graph: SceneGraph) -> np.ndarray:
@@ -84,6 +88,22 @@ def discover_goal_nodes(binaural_rir_dir: str, graph: SceneGraph) -> np.ndarray:
         if fname.endswith(".wav"):
             sources.add(int(fname[:-4].split("_")[1]))
     return np.array(sorted(sources), np.int32)
+
+
+def load_episode_bank(
+    cfg: ExperimentConfig, assets: SceneAssets, split_path: str
+) -> EpisodeBank:
+    """Episode bank from a reference-format {split}.json.gz dataset."""
+    from soundspaces_tpu.datasets import AudioNavDataset, episodes_to_bank
+
+    ds = AudioNavDataset.from_split(split_path)
+    _, names, _ = load_source_sounds(
+        cfg.data.source_sound_dir, cfg.data.sampling_rate
+    )
+    return episodes_to_bank(
+        ds.episodes, assets.graph, assets.acoustics,
+        {n: i for i, n in enumerate(names)},
+    )
 
 
 def build_env(
@@ -170,17 +190,13 @@ def build_env(
     assets = assets or build_assets(cfg)
     scene = DeviceScene.from_assets(assets)
     if episodes is None:
-        if cfg.data.episode_split_path:
-            from soundspaces_tpu.datasets import AudioNavDataset, episodes_to_bank
-
-            ds = AudioNavDataset.from_split(cfg.data.episode_split_path)
-            sounds, names = load_source_sounds(
-                cfg.data.source_sound_dir, cfg.data.sampling_rate
-            )
-            episodes = episodes_to_bank(
-                ds.episodes, assets.graph, assets.acoustics,
-                {n: i for i, n in enumerate(names)},
-            )
+        split_path = cfg.data.episode_split_path
+        if sequential and cfg.data.eval_episode_split_path:
+            # the reference swaps the dataset split for eval
+            # (EVAL.SPLIT, base_trainer.py:124-157)
+            split_path = cfg.data.eval_episode_split_path
+        if split_path:
+            episodes = load_episode_bank(cfg, assets, split_path)
         else:
             episodes = make_episode_bank(
                 assets, cfg.data.num_episodes, seed=cfg.data.seed + 1,

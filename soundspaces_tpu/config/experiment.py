@@ -44,6 +44,9 @@ class DataConfig:
     source_sound_dir: str = ""
     scene_observation_file: str = ""
     episode_split_path: str = ""
+    # eval-split episode file (the reference's EVAL.SPLIT dataset swap,
+    # base_trainer.py:124-157); empty = reuse the training episodes
+    eval_episode_split_path: str = ""
     # audio
     sampling_rate: int = 16000
     rir_max_len: int = 8000

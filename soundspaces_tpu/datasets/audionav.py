@@ -87,8 +87,14 @@ class AudioNavDataset:
             payload = json.loads(f.read())
         known = {f.name for f in dataclasses.fields(Episode)}
         for raw in payload.get("episodes", []):
-            kept = {k: v for k, v in raw.items() if k in known}
-            self.episodes.append(Episode(**kept))
+            unknown = set(raw) - known
+            assert not unknown, (
+                f"{path}: episode {raw.get('episode_id')} carries unknown "
+                f"fields {sorted(unknown)} — extend datasets.audionav.Episode "
+                "rather than dropping them silently (schema mismatches on "
+                "real semantic datasets must fail loudly)"
+            )
+            self.episodes.append(Episode(**raw))
 
     # --------------------------------------------------------------- filters
     def filter_by_ids(self, scene_episode_ids: Iterable[str]) -> None:

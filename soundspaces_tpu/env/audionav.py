@@ -391,8 +391,27 @@ class AudioNavEnv:
         """Egocentric occupancy/explored map [size, size, 2] at 0.1 m,
         agent centered and facing up — the EgoMap sensor
         (soundspaces/tasks/nav.py:235-405; 31^2 @ 0.1 m per
-        av_wan/config/default.py:155-158), sourced from the true walkable
-        grid instead of a depth projection."""
+        av_wan/config/default.py:155-158). With egomap_from_depth (the
+        default) this is the reference's actual computation: render depth at
+        the pose (ops/raycast.py) and unproject it through the camera
+        intrinsics into the obstacle/explored bins (ops/egomap.py) — the
+        agent sees only what the camera sees. The ground-truth grid crop
+        below remains available (egomap_from_depth=False) as the test
+        oracle the projection is verified against."""
+        if self.config.egomap_from_depth:
+            from soundspaces_tpu.ops.egomap import egomap_at_pose
+
+            res = scene.egomap_resolution
+            gx = scene.node_grid_xz[state.node, 0].astype(jnp.float32) * res
+            gz = scene.node_grid_xz[state.node, 1].astype(jnp.float32) * res
+            heading = jnp.deg2rad(
+                270.0 - 90.0 * state.rot_idx.astype(jnp.float32)
+            )
+            return egomap_at_pose(
+                scene.occupancy, gx, gz, heading,
+                map_size=size, resolution=res,
+                depth_hw=self.config.egomap_depth_hw,
+            )
         gx, gz = scene.node_grid_xz[state.node, 0], scene.node_grid_xz[state.node, 1]
         h, w = scene.occupancy.shape
         crop = jax.lax.dynamic_slice(

@@ -43,6 +43,12 @@ class EnvConfig:
     # frame-bank analog blends the cached endpoint frames.
     continuous_view_change: bool = False
     view_change_fps: int = 10
+    # EgoMap source: True projects a rendered depth image through the camera
+    # intrinsics (the reference's computation, nav.py:235-405 — partial
+    # observability); False crops the simulator's true walkable grid (test
+    # oracle)
+    egomap_from_depth: bool = True
+    egomap_depth_hw: int = 64  # depth-render resolution for the projection
     # episode scheduling: "random" (training) or "sequential" (eval sweeps)
     episode_sampling: str = "random"
     # which action subset the task exposes (ActionSpaceConfiguration,

@@ -1,0 +1,190 @@
+"""Build a realistic Replica/MP3D-class benchmark world on disk, in the
+reference's exact dataset layouts.
+
+Produces, under --out (default data/realistic):
+
+    metadata/{scene}/points.txt, graph.pkl        (utils.py:15-39)
+    binaural_rirs/{scene}/{angle}/{r}_{s}.wav     (simulator.py:614-618)
+    sounds/1s_all/*.wav                           (simulator.py:595-600)
+    datasets/audionav/{scene}/{split}/{split}.json.gz
+        + content/{scene}.json.gz                 (audionav_dataset.py:28-165)
+    scene_observations/{scene}.pkl                (cache_observations.py)
+
+The scene is a 1000+-node multi-room floorplan (scene/floorplan.py); RIRs
+are rendered by the native C++ geometric-acoustics tracer
+(csrc/rir_tracer.cpp) — the in-tree equivalent of the RLRAudioPropagation
+engine that rendered the reference's banks; source sounds include the
+reference checkout's own res/singing.wav (resampled), exercising real
+multi-second audio. Everything downstream (training, eval, bench) ingests
+these files exclusively through the reference-format loaders.
+
+Usage: python -m soundspaces_tpu.tools.make_realistic --out data/realistic
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_SINGING = "/root/reference/res/singing.wav"
+
+
+def synth_telephone(sampling_rate: int, secs: float = 2.0) -> np.ndarray:
+    """Dual-tone ring burst pattern (the reference's canonical telephone
+    source sound, res not shipped — synthesized at matching structure)."""
+    t = np.arange(int(secs * sampling_rate)) / sampling_rate
+    ring = np.sin(2 * np.pi * 440 * t) + np.sin(2 * np.pi * 480 * t)
+    gate = (np.mod(t, 1.0) < 0.7).astype(np.float32)
+    return (0.45 * ring * gate).astype(np.float32)
+
+
+def synth_fan(sampling_rate: int, secs: float = 3.0, seed: int = 7) -> np.ndarray:
+    """Broadband machinery-like noise with a low-frequency hum."""
+    rng = np.random.default_rng(seed)
+    n = int(secs * sampling_rate)
+    noise = rng.standard_normal(n).astype(np.float32)
+    # one-pole lowpass for a fan-like spectrum
+    out = np.empty_like(noise)
+    acc = 0.0
+    for i in range(n):  # small n; clarity over speed
+        acc = 0.92 * acc + 0.08 * noise[i]
+        out[i] = acc
+    t = np.arange(n) / sampling_rate
+    hum = 0.2 * np.sin(2 * np.pi * 120 * t)
+    sig = 4.0 * out + hum
+    return (0.5 * sig / np.abs(sig).max()).astype(np.float32)
+
+
+def build_sounds(sampling_rate: int) -> dict[str, np.ndarray]:
+    from soundspaces_tpu.tools.reference_format import load_wav_mono
+
+    sounds = {
+        "telephone": synth_telephone(sampling_rate),
+        "fan": synth_fan(sampling_rate),
+    }
+    if os.path.exists(REFERENCE_SINGING):
+        # the reference's own source recording (4.9 s @48 kHz) — real
+        # multi-second audio through the real ingestion path
+        sounds["singing"] = load_wav_mono(REFERENCE_SINGING, sampling_rate)
+    return sounds
+
+
+def build_world(
+    out: str,
+    scene: str = "apartment_1k",
+    width: int = 40,
+    depth: int = 40,
+    num_goals: int = 12,
+    sampling_rate: int = 16000,
+    rir_max_len: int = 8000,
+    num_rays: int = 500,
+    train_episodes: int = 4000,
+    val_episodes: int = 200,
+    test_episodes: int = 500,
+    image_size: int = 128,
+    seed: int = 0,
+    write_frames: bool = True,
+) -> dict:
+    from soundspaces_tpu.scene.floorplan import floorplan_graph, spread_goal_nodes
+    from soundspaces_tpu.scene.synthetic import synth_frames
+    from soundspaces_tpu.tools import reference_format as rf
+    from soundspaces_tpu.tools.rir_synth import synth_rir_bank_native
+
+    t0 = time.time()
+    graph = floorplan_graph(width, depth, seed=seed)
+    goal_nodes = spread_goal_nodes(graph, num_goals, seed=seed + 1)
+    summary = {
+        "scene": scene,
+        "num_nodes": graph.num_nodes,
+        "num_goals": len(goal_nodes),
+        "sampling_rate": sampling_rate,
+        "rir_max_len": rir_max_len,
+    }
+    print(f"[graph] {graph.num_nodes} nodes ({time.time()-t0:.1f}s)", flush=True)
+
+    rf.write_metadata(graph, os.path.join(out, "metadata", scene))
+
+    sounds = build_sounds(sampling_rate)
+    rf.write_sound_dir(
+        sounds, os.path.join(out, "sounds", "1s_all"), sampling_rate
+    )
+    summary["sounds"] = sorted(sounds)
+    summary["sound_secs"] = {
+        k: round(v.shape[0] / sampling_rate, 2) for k, v in sounds.items()
+    }
+
+    t1 = time.time()
+    rirs = synth_rir_bank_native(
+        graph, goal_nodes, sampling_rate, rir_max_len,
+        num_rays=num_rays, seed=seed,
+    )
+    print(f"[tracer] {4*graph.num_nodes*len(goal_nodes)} RIRs "
+          f"({time.time()-t1:.1f}s)", flush=True)
+    t1 = time.time()
+    n_files = rf.write_binaural_rirs(
+        rirs, goal_nodes,
+        os.path.join(out, "binaural_rirs", scene), sampling_rate,
+    )
+    summary["rir_files"] = n_files
+    print(f"[rirs] {n_files} wavs ({time.time()-t1:.1f}s)", flush=True)
+
+    sound_names = sorted(sounds)
+    ep_dir = os.path.join(out, "datasets", "audionav", scene)
+    for split, count, s_off in (
+        ("train", train_episodes, 10),
+        ("val", val_episodes, 11),
+        ("test", test_episodes, 12),
+    ):
+        eps = rf.make_episode_records(
+            graph, goal_nodes, sound_names, count, scene, seed=seed + s_off
+        )
+        rf.write_episode_dataset(
+            {scene: eps}, os.path.join(ep_dir, split), split
+        )
+    summary["episodes"] = {
+        "train": train_episodes, "val": val_episodes, "test": test_episodes
+    }
+
+    if write_frames:
+        t1 = time.time()
+        frames = synth_frames(graph, image_size, image_size, ("depth",), seed)
+        rf.write_frame_cache(
+            frames.modalities,
+            os.path.join(out, "scene_observations", f"{scene}.pkl"),
+        )
+        print(f"[frames] ({time.time()-t1:.1f}s)", flush=True)
+
+    summary["build_secs"] = round(time.time() - t0, 1)
+    with open(os.path.join(out, "world.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="data/realistic")
+    ap.add_argument("--scene", default="apartment_1k")
+    ap.add_argument("--width", type=int, default=40)
+    ap.add_argument("--depth", type=int, default=40)
+    ap.add_argument("--num-goals", type=int, default=12)
+    ap.add_argument("--sampling-rate", type=int, default=16000)
+    ap.add_argument("--rir-max-len", type=int, default=8000)
+    ap.add_argument("--num-rays", type=int, default=500)
+    ap.add_argument("--train-episodes", type=int, default=4000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    summary = build_world(
+        args.out, scene=args.scene, width=args.width, depth=args.depth,
+        num_goals=args.num_goals, sampling_rate=args.sampling_rate,
+        rir_max_len=args.rir_max_len, num_rays=args.num_rays,
+        train_episodes=args.train_episodes, seed=args.seed,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
