@@ -179,6 +179,9 @@ def build_env(
                 depth_size=cfg.data.image_size,
                 step_chunks=c.step_chunks,
                 episode_sampling=env_cfg.episode_sampling,
+                everlasting=cfg.env.everlasting,
+                has_distractor_sound=cfg.env.has_distractor_sound,
+                num_categories=cfg.env.num_categories,
             )
         return MultiSceneEnv(
             env_cfg,
@@ -253,6 +256,9 @@ def build_env(
                 depth_size=cfg.data.image_size,
                 step_chunks=c.step_chunks,
                 episode_sampling=env_cfg.episode_sampling,
+                everlasting=env_cfg.everlasting,
+                has_distractor_sound=env_cfg.has_distractor_sound,
+                num_categories=env_cfg.num_categories,
             ),
             scene, episodes, num_envs or cfg.trainer.num_envs,
             tracer=tracer, neural_field=neural_field,

@@ -59,6 +59,17 @@ class ContinuousConfig:
     success_reward: float = 10.0
     distance_reward_scale: float = 1.0
     sensors: tuple[str, ...] = ("spectrogram",)
+    # walkability model: "occupancy" marches the step segment through the
+    # walkable occupancy grid (the navmesh-collision role of habitat's
+    # pathfinder.try_step, continuous_simulator.py:464-480) so corners
+    # cannot be cut through walls; "radius" is the round-1 node-distance
+    # check kept as a fallback/oracle
+    walkability: str = "occupancy"
+    # semantic-task knobs (semantic_audionav_task.py; same task layer drives
+    # the continuous sim in the reference)
+    everlasting: bool = True  # False: source silent past episode duration
+    has_distractor_sound: bool = False  # mix a distractor source (bank mode)
+    num_categories: int = 21
     # where the per-step RIR comes from: "bank" gathers the precomputed HBM
     # bank at the nearest (node, azimuth); "tracer" renders a FRESH RIR at
     # the exact continuous pose each step with the native C++ ray tracer via
@@ -116,6 +127,13 @@ class ContinuousEnvState:
     collision_count: jax.Array  # per-episode (habitat Collisions measure)
     ep_ptr: jax.Array
     rng: jax.Array
+    # semantic-task episode fields (semantic_audionav_task.py:28-46)
+    duration_sec: jax.Array  # i32 sound duration (SWS / silencing)
+    category: jax.Array  # i32 goal object category
+    oracle_num_action: jax.Array  # i32 (SNA normalizer, episode info)
+    distractor_sound_id: jax.Array  # i32, -1 = none
+    distractor_slot: jax.Array  # i32 RIR slot of the distractor
+    viewpoint_nodes: jax.Array  # [V] i32 success nodes, -1 padded
     # tracer/parametric modes only (None in bank mode): the current pose's
     # fresh RIR and the previous step's, so crossfade never re-renders
     rir: jax.Array | None = None
@@ -160,6 +178,12 @@ class ContinuousAudioNavEnv:
                 "one with ops.neural_rir.train_neural_rir_field"
             )
             self._neural_net, self._neural_params = neural_field
+        if config.has_distractor_sound:
+            assert config.rir_source == "bank", (
+                "continuous distractor mixing needs the RIR bank (fresh-RIR "
+                "modes render the goal source only; the reference's "
+                "continuous sim equally renders one AudioSensor source)"
+            )
         self._band_noise = None
         if config.rir_source in ("parametric", "neural"):
             from soundspaces_tpu.ops.parametric_rir import band_noise_tables
@@ -273,13 +297,40 @@ class ContinuousAudioNavEnv:
             collision_count=jnp.int32(0),
             ep_ptr=ep_ptr + jnp.int32(self.num_envs),
             rng=rng,
+            duration_sec=ep.duration_sec[i],
+            category=ep.category[i],
+            oracle_num_action=ep.oracle_num_action[i],
+            distractor_sound_id=ep.distractor_sound_id[i],
+            distractor_slot=ep.distractor_slot[i],
+            viewpoint_nodes=ep.viewpoint_nodes[i],
         )
 
-    def _walkable(self, scene, x, z):
-        """Free iff within grid_size/2+margin of some graph node (the
-        occupancy stand-in for the navmesh)."""
-        d2 = (scene.points[:, 0] - x) ** 2 + (scene.points[:, 2] - z) ** 2
-        return jnp.min(d2) < (scene.grid_size * 0.75) ** 2
+    def _world_to_cell(self, scene, px, pz):
+        """World -> occupancy-grid cell via the node-0 anchor (the grid is
+        affine; node_grid_xz carries each node's cell so the origin is
+        recoverable exactly)."""
+        res = scene.egomap_resolution
+        ox = scene.points[0, 0] - scene.node_grid_xz[0, 0].astype(jnp.float32) * res
+        oz = scene.points[0, 2] - scene.node_grid_xz[0, 1].astype(jnp.float32) * res
+        cx = jnp.round((px - ox) / res).astype(jnp.int32)
+        cz = jnp.round((pz - oz) / res).astype(jnp.int32)
+        h, w = scene.occupancy.shape
+        return jnp.clip(cz, 0, h - 1), jnp.clip(cx, 0, w - 1)
+
+    def _walkable(self, scene, x, z, nx, nz):
+        """Is the step (x,z)->(nx,nz) free? "occupancy" (default) marches
+        the segment through the walkable occupancy grid — the
+        pathfinder.try_step role (continuous_simulator.py:464-480); a wall
+        cell anywhere on the segment blocks the move, so corners cannot be
+        cut through walls. "radius": round-1 nearest-node distance check."""
+        if self.config.walkability == "radius":
+            d2 = (scene.points[:, 0] - nx) ** 2 + (scene.points[:, 2] - nz) ** 2
+            return jnp.min(d2) < (scene.grid_size * 0.75) ** 2
+        ts = jnp.linspace(0.25, 1.0, 4)
+        px = x + ts * (nx - x)
+        pz = z + ts * (nz - z)
+        cz, cx = self._world_to_cell(scene, px, pz)
+        return jnp.all(scene.occupancy[cz, cx] > 0.5)
 
     def _geodesic(self, scene, x, z, goal_node):
         """Continuous geodesic: min over graph nodes of (euclidean to the
@@ -337,7 +388,7 @@ class ContinuousAudioNavEnv:
         # heading convention: forward = (cos h, sin h) in (x, z)
         nx = state.x + cfg.step_size * jnp.cos(state.heading) * is_fwd
         nz = state.z + cfg.step_size * jnp.sin(state.heading) * is_fwd
-        ok = self._walkable(scene, nx, nz)
+        ok = self._walkable(scene, state.x, state.z, nx, nz)
         new_x = jnp.where(ok, nx, state.x)
         new_z = jnp.where(ok, nz, state.z)
         collided = is_fwd & ~ok
@@ -350,11 +401,24 @@ class ContinuousAudioNavEnv:
         step_count = state.step_count + 1
         moved = jnp.sqrt((new_x - state.x) ** 2 + (new_z - state.z) ** 2)
         geo = self._geodesic(scene, new_x, new_z, state.goal_node)
-        euclid = jnp.sqrt(
-            (scene.points[state.goal_node, 0] - new_x) ** 2
-            + (scene.points[state.goal_node, 2] - new_z) ** 2
+        # success = STOP near the goal or any of its view points (the
+        # semantic task's object-visibility success,
+        # semantic_audionav_task.py:28-46; plain AudioGoal's view-point set
+        # is just the goal node)
+        vp = state.viewpoint_nodes
+        vp_ok = vp >= 0
+        vpd2 = jnp.where(
+            vp_ok,
+            (scene.points[jnp.maximum(vp, 0), 0] - new_x) ** 2
+            + (scene.points[jnp.maximum(vp, 0), 2] - new_z) ** 2,
+            jnp.inf,
         )
-        success = is_stop & (euclid < cfg.success_distance)
+        euclid2 = jnp.minimum(
+            (scene.points[state.goal_node, 0] - new_x) ** 2
+            + (scene.points[state.goal_node, 2] - new_z) ** 2,
+            jnp.min(vpd2),
+        )
+        success = is_stop & (euclid2 < cfg.success_distance**2)
         done = is_stop | (step_count >= cfg.max_episode_steps)
 
         reward = (
@@ -363,13 +427,33 @@ class ContinuousAudioNavEnv:
             + jnp.where(success, cfg.success_reward, 0.0)
         )
         path_length = state.path_length + moved
+        # the full measure suite (nav.py:108-232, semantic_audionav_task.py:
+        # 213-235), as in the discrete env
         sf = success.astype(jnp.float32)
+        start_geo = state.start_geodesic
+        spl = sf * start_geo / jnp.maximum(start_geo, path_length)
+        softspl = jnp.clip(
+            1.0 - geo / jnp.maximum(start_geo, 1e-6), 0.0, 1.0
+        ) * (start_geo / jnp.maximum(start_geo, path_length))
+        ona = jnp.where(
+            state.oracle_num_action > 0,
+            state.oracle_num_action.astype(jnp.float32),
+            start_geo / cfg.step_size,
+        )
+        sna = sf * ona / jnp.maximum(ona, step_count.astype(jnp.float32))
+        elapsed_sec = step_count.astype(jnp.float32) * cfg.step_time
+        silent = (
+            elapsed_sec > state.duration_sec.astype(jnp.float32)
+        ).astype(jnp.float32)
         info = {
             "success": sf,
-            "spl": sf * state.start_geodesic
-            / jnp.maximum(state.start_geodesic, path_length),
+            "spl": spl,
+            "softspl": softspl,
             "distance_to_goal": geo,
+            "normalized_distance_to_goal": geo / jnp.maximum(start_geo, 1e-6),
             "na": step_count.astype(jnp.float32),
+            "sna": sna,
+            "sws": sf * silent,
             "collisions": collision_count.astype(jnp.float32),
         }
 
@@ -453,6 +537,31 @@ class ContinuousAudioNavEnv:
             room_height=cfg.room_height,
             wall_absorption=cfg.wall_absorption,
         )
+
+    def _distractor_audio(self, scene, state):
+        """Crossfaded audio of the distractor source at its own RIR slot
+        (bank mode; the reference mixes a second fftconvolve the same way,
+        simulator.py:649-664)."""
+        cfg = self.config
+        d_sound = jnp.maximum(state.distractor_sound_id, 0)
+        d_slot = jnp.maximum(state.distractor_slot, 0)
+        d_state = state.replace(sound_id=d_sound, goal_slot=d_slot)
+        seg = self._seg_spectra(scene, d_state)
+        node = self._nearest_node(scene, state.x, state.z)
+        az = self._az_idx(state.heading)
+        rir = self._bank_rir(scene, d_state, node, az)
+        if cfg.use_crossfade:
+            prev = self._bank_rir(
+                scene, d_state, state.prev_node, state.prev_az
+            )
+            rir = jnp.concatenate([prev, rir], axis=0)
+        audio = self._render_audio(scene, d_state, rir, seg)
+        if cfg.use_crossfade:
+            audio = crossfade(audio[:2], audio[2:], scene.sampling_rate)
+        has_d = (state.distractor_sound_id >= 0) & (
+            state.distractor_slot >= 0
+        )
+        return jnp.where(has_d, audio, 0.0)
 
     def _bank_rir(self, scene, state, node, az):
         rir = scene.rir[az, node, state.goal_slot]
@@ -540,6 +649,17 @@ class ContinuousAudioNavEnv:
             audio = self._render_audio(scene, state, rir, seg)
         if xf:
             audio = crossfade(audio[:2], audio[2:], scene.sampling_rate)
+        if cfg.has_distractor_sound:
+            # distractor source convolved with its own pose RIR and mixed in
+            # (simulator.py:649-664; crossfade is linear so summing the
+            # crossfaded signals equals crossfading the sum)
+            audio = audio + self._distractor_audio(scene, state)
+        if not cfg.everlasting:
+            # silence once past the sounding object's duration
+            # (semantic task; simulator.py:610-612)
+            elapsed = state.step_count.astype(jnp.float32) * cfg.step_time
+            audible = elapsed <= state.duration_sec.astype(jnp.float32)
+            audio = audio * audible
         obs = {}
         if "audiogoal" in cfg.sensors:
             obs["audiogoal"] = audio
@@ -549,6 +669,10 @@ class ContinuousAudioNavEnv:
             obs["spectrogram"] = spectrogram(
                 audio,
                 nonzero_len=int(round(cfg.step_time * scene.sampling_rate)),
+            )
+        if "category" in cfg.sensors:
+            obs["category"] = jax.nn.one_hot(
+                state.category, cfg.num_categories
             )
         if "pointgoal_with_gps_compass" in cfg.sensors:
             dx = scene.points[state.goal_node, 0] - state.x
