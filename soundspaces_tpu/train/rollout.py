@@ -43,6 +43,10 @@ class RolloutCarry:
     hidden: jax.Array
     prev_done: jax.Array  # [N] bool
     rng: jax.Array
+    # optional running visual-input normalizer state (models/resnet.py
+    # NormStats — the reference's RunningMeanAndVar buffers). Updated every
+    # rollout step; None disables normalization.
+    norm_stats: Any = None
 
 
 def collect_rollout(
@@ -53,25 +57,42 @@ def collect_rollout(
     episodes: Any,
     carry: RolloutCarry,
     num_steps: int,
+    norm_axis: str | None = None,
 ) -> tuple[RolloutCarry, Rollout]:
     """policy_apply(params, obs, hidden, masks, rng) -> (action, logp, value,
     hidden). Runs `num_steps` env steps entirely on device. scene/episodes
     are explicit pytree args so the caller's jit sees them as inputs, not
-    baked-in constants."""
+    baked-in constants.
+
+    When carry.norm_stats is set, rgb/depth observations pass through the
+    running mean/var normalizer: statistics fold in each batch during
+    collection (the reference's training-mode RunningMeanAndVar forward,
+    running_mean_and_var.py) and the NORMALIZED observations are what the
+    policy — and the stored rollout the PPO epochs replay — see. norm_axis
+    psums the batch moments across the data-parallel mesh axis."""
 
     initial_hidden = carry.hidden
+    use_norm = carry.norm_stats is not None
+    if use_norm:
+        from soundspaces_tpu.models.resnet import normalize_visual_obs
 
     def one_step(c: RolloutCarry, _):
         rng, act_key = jax.random.split(c.rng)
         masks = 1.0 - c.prev_done.astype(jnp.float32)
+        stats = c.norm_stats
+        obs_in = c.obs
+        if use_norm:
+            stats, obs_in = normalize_visual_obs(
+                stats, c.obs, update=True, axis_name=norm_axis
+            )
         action, logp, value, hidden = policy_apply(
-            params, c.obs, c.hidden, masks, act_key
+            params, obs_in, c.hidden, masks, act_key
         )
         env_state, obs, reward, done, info = env.step_pure(
             scene, episodes, c.env_state, action
         )
         out = dict(
-            obs=c.obs,
+            obs=obs_in,
             actions=action,
             log_probs=logp,
             values=value,
@@ -81,15 +102,20 @@ def collect_rollout(
             infos=info,
         )
         return (
-            RolloutCarry(env_state, obs, hidden, done, rng),
+            RolloutCarry(env_state, obs, hidden, done, rng, stats),
             out,
         )
 
     carry, traj = jax.lax.scan(one_step, carry, None, length=num_steps)
 
     last_masks = 1.0 - carry.prev_done.astype(jnp.float32)
+    last_obs = carry.obs
+    if use_norm:
+        _, last_obs = normalize_visual_obs(
+            carry.norm_stats, carry.obs, update=False
+        )
     _, _, last_value, _ = policy_apply(
-        params, carry.obs, carry.hidden, last_masks, carry.rng
+        params, last_obs, carry.hidden, last_masks, carry.rng
     )
     rollout = Rollout(
         obs=traj["obs"],

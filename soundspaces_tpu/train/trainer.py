@@ -43,6 +43,12 @@ class TrainerConfig:
     use_visual: bool = True
     use_audio: bool = True
     use_pointgoal: bool = False
+    # DD-PPO policy family (savi/ddppo/policy): "simple" 3-conv CNN, or a
+    # GroupNorm "resnet18"/"resnet50"/"se_resnext50" backbone
+    visual_encoder: str = "simple"
+    # running mean/var input normalization for rgb/depth (the reference's
+    # RunningMeanAndVar, updated during rollouts, frozen at eval)
+    normalize_visual_inputs: bool = False
 
 
 class PPOTrainer:
@@ -65,6 +71,7 @@ class PPOTrainer:
             use_visual=trainer_cfg.use_visual,
             use_audio=trainer_cfg.use_audio,
             use_pointgoal=trainer_cfg.use_pointgoal,
+            visual_encoder=trainer_cfg.visual_encoder,
         )
         self.policy = CategoricalPolicy(net=net, num_actions=env.config.num_actions)
 
@@ -87,8 +94,19 @@ class PPOTrainer:
         rng, env_key, param_key = jax.random.split(rng, 3)
         env_state, obs = self.env.reset(env_key)
         hidden = jnp.zeros((self.env.num_envs, self.ppo.hidden_size), jnp.float32)
+        norm_stats = None
+        init_obs = obs
+        if self.cfg.normalize_visual_inputs:
+            from soundspaces_tpu.models.resnet import (
+                NormStats,
+                normalize_visual_obs,
+                normalized_visual_channels,
+            )
+
+            norm_stats = NormStats.zeros(normalized_visual_channels(obs))
+            _, init_obs = normalize_visual_obs(norm_stats, obs)
         params = self.policy.init(
-            param_key, obs, hidden, jnp.ones(self.env.num_envs)
+            param_key, init_obs, hidden, jnp.ones(self.env.num_envs)
         )
         opt_state = self.optimizer.init(params)
         carry = RolloutCarry(
@@ -97,6 +115,7 @@ class PPOTrainer:
             hidden=hidden,
             prev_done=jnp.zeros(self.env.num_envs, bool),
             rng=rng,
+            norm_stats=norm_stats,
         )
         return params, opt_state, carry
 
@@ -122,7 +141,7 @@ class PPOTrainer:
         def step(params, opt_state, carry, rng, clip_param, scene, episodes):
             carry, rollout = collect_rollout(
                 self._policy_act, params, self.env, scene, episodes, carry,
-                self.ppo.num_steps,
+                self.ppo.num_steps, norm_axis=axis_name,
             )
             params, opt_state, losses = ppo_update(
                 params,
@@ -197,9 +216,15 @@ class PPOTrainer:
         params, opt_state, carry = self.init_state(rng)
         start_update = 0
         if resume_from:
-            params, opt_state, start_update = self.load_checkpoint(
-                resume_from, params, opt_state
-            )
+            if carry.norm_stats is not None:
+                params, opt_state, start_update, stats = self.load_checkpoint(
+                    resume_from, params, opt_state, carry.norm_stats
+                )
+                carry = carry.replace(norm_stats=stats)
+            else:
+                params, opt_state, start_update = self.load_checkpoint(
+                    resume_from, params, opt_state
+                )
         if self.mesh is not None:
             from soundspaces_tpu.train.parallel import (
                 replicate,
@@ -273,11 +298,13 @@ class PPOTrainer:
                 if log_fn:
                     log_fn(update, m)
             if (update + 1) % cfg.checkpoint_interval == 0:
-                self.save_checkpoint(params, opt_state, update + 1)
+                self.save_checkpoint(params, opt_state, update + 1,
+                                     norm_stats=carry.norm_stats)
             if preemption.EXIT_REQUESTED:
                 # snapshot at the update boundary and optionally requeue
                 # (the reference's SIGUSR1 flow, ddppo_trainer.py:250-272)
-                path = self.save_checkpoint(params, opt_state, update + 1)
+                path = self.save_checkpoint(params, opt_state, update + 1,
+                                            norm_stats=carry.norm_stats)
                 if preemption.REQUEUE_REQUESTED:
                     preemption.requeue_job()
                 break
@@ -328,11 +355,19 @@ class PPOTrainer:
                 prev_ckpt_ind += 1
                 if prev_ckpt_ind % eval_interval != 0:
                     continue
-            params, opt_state, _ = self.init_state(
+            params, opt_state, carry0 = self.init_state(
                 jax.random.PRNGKey(self.cfg.seed)
             )
-            params, _, update = self.load_checkpoint(ckpt, params, opt_state)
-            stats = self.evaluate(params, num_episodes=num_episodes)
+            norm_stats = None
+            if carry0.norm_stats is not None:
+                params, _, update, norm_stats = self.load_checkpoint(
+                    ckpt, params, opt_state, carry0.norm_stats
+                )
+            else:
+                params, _, update = self.load_checkpoint(ckpt, params, opt_state)
+            stats = self.evaluate(
+                params, num_episodes=num_episodes, norm_stats=norm_stats
+            )
             stats["update"] = float(update)
             if model_dir:
                 log_eval_result(model_dir, ckpt, stats)
@@ -349,6 +384,7 @@ class PPOTrainer:
         rng: jax.Array | None = None,
         max_steps: int | None = None,
         video_dir: str | None = None,
+        norm_stats=None,
     ) -> dict[str, float]:
         """Run `num_episodes` episodes on the eval env (sequential episode
         iteration) and average the end-of-episode measures — the
@@ -366,6 +402,12 @@ class PPOTrainer:
         @jax.jit
         def eval_step(scene, episodes, params, state, obs, hidden, prev_done, key):
             masks = 1.0 - prev_done.astype(jnp.float32)
+            if norm_stats is not None:
+                # eval uses the FROZEN running statistics (the reference's
+                # eval-mode RunningMeanAndVar forward)
+                from soundspaces_tpu.models.resnet import normalize_visual_obs
+
+                _, obs = normalize_visual_obs(norm_stats, obs, update=False)
             action, _, _, hidden = self._policy_act(
                 params, obs, hidden, masks, key,
                 deterministic=self.cfg.deterministic_eval,
@@ -434,33 +476,36 @@ class PPOTrainer:
     # like the reference's ckpt dicts carry theirs (ppo_trainer.py:91-106)
     experiment_config = None
 
-    def save_checkpoint(self, params, opt_state, update: int):
-        """ckpt.{i} with model + optimizer + step (+ experiment config as
-        JSON when known), like the reference's ckpt.{i}.pth dicts."""
+    def save_checkpoint(self, params, opt_state, update: int, norm_stats=None):
+        """ckpt.{i} with model + optimizer + step (+ running input-normalizer
+        state when in use, + experiment config as JSON when known), like the
+        reference's ckpt.{i}.pth dicts."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(
             os.path.join(self.cfg.checkpoint_folder, f"ckpt.{update}")
         )
+        payload = {"params": params, "opt_state": opt_state, "update": update}
+        if norm_stats is not None:
+            payload["norm_stats"] = norm_stats
         ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(
-            path,
-            {"params": params, "opt_state": opt_state, "update": update},
-            force=True,
-        )
+        ckpt.save(path, payload, force=True)
         if self.experiment_config is not None:
             with open(os.path.join(path, "experiment_config.json"), "w") as f:
                 json.dump(dataclasses.asdict(self.experiment_config), f)
         return path
 
-    def load_checkpoint(self, path: str, params, opt_state):
+    def load_checkpoint(self, path: str, params, opt_state, norm_stats=None):
         import orbax.checkpoint as ocp
 
+        item = {"params": params, "opt_state": opt_state, "update": 0}
+        if norm_stats is not None:
+            item["norm_stats"] = norm_stats
         ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(
-            os.path.abspath(path),
-            item={"params": params, "opt_state": opt_state, "update": 0},
-        )
+        restored = ckpt.restore(os.path.abspath(path), item=item)
+        if norm_stats is not None:
+            return (restored["params"], restored["opt_state"],
+                    restored["update"], restored["norm_stats"])
         return restored["params"], restored["opt_state"], restored["update"]
 
 
