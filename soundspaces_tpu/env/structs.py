@@ -294,7 +294,31 @@ def make_episode_bank(
     rots = rng.integers(0, 4, num_episodes).astype(np.int32)
     slots = rng.integers(0, len(ac.goal_nodes), num_episodes).astype(np.int32)
     goals = ac.goal_nodes[slots]
-    sounds = rng.integers(0, ac.seg_fft.shape[0], num_episodes).astype(np.int32)
+    n_sounds = int(ac.seg_fft.shape[0])
+    if assets.node_category is not None:
+        # category belongs to the goal OBJECT (the node's category), and the
+        # sound is one of the clips voicing that category (clip s voices
+        # category s % n_cat) — category != f(sound), so the belief task is
+        # a real inference problem (semantic_audionav_task.py's object
+        # categories vs per-category sound clips)
+        categories = assets.node_category[goals].astype(np.int32)
+        n_cat = int(assets.node_category.max()) + 1
+        n_cat = min(n_cat, n_sounds)
+        categories = categories % n_cat
+        clips_per = [
+            len(range(c, n_sounds, n_cat)) for c in range(n_cat)
+        ]
+        k = rng.integers(0, 1 << 30, num_episodes)
+        sounds = np.array(
+            [
+                c + n_cat * (kk % clips_per[c])
+                for c, kk in zip(categories, k)
+            ],
+            np.int32,
+        )
+    else:
+        sounds = rng.integers(0, n_sounds, num_episodes).astype(np.int32)
+        categories = (sounds % 21).astype(np.int32)
     geo = np.zeros(num_episodes, np.float32)
     na = np.zeros(num_episodes, np.int32)
     for i in range(num_episodes):
@@ -330,7 +354,7 @@ def make_episode_bank(
         oracle_num_action=jnp.asarray(na),
         duration_sec=jnp.asarray(dur),
         offset_sec=jnp.zeros(num_episodes, jnp.int32),
-        category=jnp.asarray(sounds % 21),
+        category=jnp.asarray(categories),
         distractor_sound_id=jnp.asarray(d_sound.astype(np.int32)),
         distractor_slot=jnp.asarray(d_slot.astype(np.int32)),
     )

@@ -40,6 +40,10 @@ class SAViConfig:
     use_belief_predictor: bool = True
     belief_lr: float = 1e-4
     online_belief_training: bool = True
+    # ablation: zero the belief inputs the policy sees (the predictor still
+    # trains/logs) — measures how much the predicted beliefs actually help
+    # (VERDICT round-1 item #7)
+    ablate_beliefs: bool = False
 
 
 @struct.dataclass
@@ -112,6 +116,11 @@ class SAViTrainer:
             obs["location_belief"] = location_belief
         else:
             obs["location_belief"] = location_belief
+        if self.savi.ablate_beliefs:
+            # zeroed-belief ablation: identical shapes, no information
+            if "category_belief" in obs:
+                obs["category_belief"] = jnp.zeros_like(obs["category_belief"])
+            obs["location_belief"] = jnp.zeros_like(obs["location_belief"])
         return obs
 
     # ------------------------------------------------------------------ train

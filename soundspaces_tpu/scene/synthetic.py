@@ -198,7 +198,18 @@ def make_synthetic_assets(
     inst_map = (
         synth_instance_to_mpcat(seed) if "semantic" in modalities else None
     )
+    # per-node object categories, DECOUPLED from sound ids: the sounding
+    # object at a node has a category; sound clips map many-to-one onto
+    # categories (clip s voices category s % n_cat), so the category-belief
+    # task is not a trivial alias of the sound identity (VERDICT round-1
+    # weakness #3). n_cat < num_sounds gives multiple clips per category.
+    n_cat = max(min(21, (num_sounds + 1) // 2), 1)
+    cat_rng = np.random.default_rng(seed + 7)
+    node_category = cat_rng.integers(
+        0, n_cat, size=graph.num_nodes
+    ).astype(np.int32)
     return SceneAssets(
         graph=graph, acoustics=acoustics, frames=frames,
         instance_to_mpcat=inst_map,
+        node_category=node_category,
     )
