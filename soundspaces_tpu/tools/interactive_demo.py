@@ -80,10 +80,10 @@ def main(argv=None):
                   {k: float(v[0]) for k, v in info.items()})
             break
     if frames:
-        vp, wp = images_to_video_with_audio(
+        vp = images_to_video_with_audio(
             frames, audios, args.out, "interactive", scene.sampling_rate, fps=1
         )
-        print("wrote", vp, wp)
+        print("wrote", vp)
 
 
 if __name__ == "__main__":

@@ -1,16 +1,106 @@
 """Evaluation video generation with frame-aligned audio.
 
 Reference: ss_baselines/common/utils.py:279-318 builds demo videos by
-attaching per-step audio clips to frames with moviepy. moviepy/ffmpeg are
-host-side conveniences, not compute path; this build writes the video with
-cv2 and the aligned audio track as a wav (mux offline with ffmpeg where
-available)."""
+attaching per-step audio clips to frames with moviepy (ffmpeg). This build
+ships its own muxer: `mux_avi` writes ONE standard AVI file with the
+uncompressed video stream and the PCM audio track interleaved
+frame-by-frame (RIFF 'AVI ' with avih/strl headers, '00db'/'01wb' movi
+chunks and an idx1 index) — no ffmpeg/moviepy dependency, frame-aligned by
+construction."""
 
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", kind + payload)
+
+
+def mux_avi(
+    images: list[np.ndarray],  # [H, W, 3] uint8 RGB per frame
+    audio: np.ndarray,  # [total_samples, 2] int16 PCM
+    path: str,
+    fps: int,
+    sampling_rate: int,
+) -> str:
+    """Write one AVI file with interleaved uncompressed ('DIB ') video and
+    16-bit stereo PCM audio — each video frame followed by its audio window,
+    so players keep picture and sound aligned (the images_to_video_with_audio
+    contract, common/utils.py:279-318)."""
+    h, w = images[0].shape[:2]
+    n_frames = len(images)
+    row_bytes = (w * 3 + 3) & ~3  # BMP rows pad to 4 bytes
+    frame_bytes = row_bytes * h
+    audio = np.asarray(audio, np.int16)
+    block_align = 4  # 2 ch x int16
+    samples_per_frame = sampling_rate // fps
+
+    avih = struct.pack(
+        "<14I",
+        int(1e6 / fps), frame_bytes * fps + sampling_rate * block_align,
+        0, 0x110,  # AVIF_HASINDEX | AVIF_ISINTERLEAVED
+        n_frames, 0, 2, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh_v = (
+        b"vids" + b"DIB " + struct.pack(
+            "<10I4h", 0, 0, 0, 1, fps, 0, n_frames, frame_bytes,
+            0xFFFFFFFF, 0, 0, 0, w, h,
+        )
+    )
+    strf_v = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    strh_a = (
+        b"auds" + b"\x00" * 4 + struct.pack(
+            "<10I4h", 0, 0, 0, 1, sampling_rate, 0, audio.shape[0],
+            sampling_rate * block_align, 0xFFFFFFFF, block_align, 0, 0, 0, 0,
+        )
+    )
+    strf_a = struct.pack(
+        "<HHIIHH", 1, 2, sampling_rate, sampling_rate * block_align,
+        block_align, 16,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+    )
+
+    movi_payload = b""
+    index = b""
+    for i, frame in enumerate(images):
+        # BMP layout: bottom-up rows, BGR, 4-byte row padding
+        bgr = np.ascontiguousarray(frame[::-1, :, ::-1]).astype(np.uint8)
+        rows = np.zeros((h, row_bytes), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        vdata = rows.tobytes()
+        index += b"00db" + struct.pack(
+            "<3I", 0x10, 4 + len(movi_payload), len(vdata)
+        )
+        movi_payload += _chunk(b"00db", vdata)
+        a0 = i * samples_per_frame
+        adata = audio[a0 : a0 + samples_per_frame].tobytes()
+        index += b"01wb" + struct.pack(
+            "<3I", 0x10, 4 + len(movi_payload), len(adata)
+        )
+        movi_payload += _chunk(b"01wb", adata)
+    movi = _list(b"movi", movi_payload)
+    idx1 = _chunk(b"idx1", index)
+
+    riff = _chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+    with open(path, "wb") as f:
+        f.write(riff)
+    return path
 
 
 def images_to_video_with_audio(
@@ -20,31 +110,21 @@ def images_to_video_with_audio(
     video_name: str,
     sampling_rate: int,
     fps: int = 1,
-) -> tuple[str, str]:
+) -> str:
     """images: [H, W, 3] uint8 per step; audios: [2, sr/fps] per step.
-    Writes {name}.avi + {name}.wav with one audio window per frame."""
-    import cv2
-    from scipy.io import wavfile
-
+    Writes ONE muxed {name}.avi whose audio track is the per-frame windows
+    concatenated in frame order (frame-aligned like the reference's
+    images_to_video_with_audio, common/utils.py:279-318)."""
     os.makedirs(output_dir, exist_ok=True)
     video_path = os.path.join(output_dir, f"{video_name}.avi")
-    wav_path = os.path.join(output_dir, f"{video_name}.wav")
-
-    h, w = images[0].shape[:2]
-    writer = cv2.VideoWriter(
-        video_path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h)
-    )
-    for frame in images:
-        writer.write(frame[..., ::-1])  # RGB -> BGR
-    writer.release()
 
     samples_per_frame = sampling_rate // fps
     track = np.concatenate(
         [np.asarray(a)[:, :samples_per_frame].T for a in audios], axis=0
     )
     peak = np.abs(track).max() or 1.0
-    wavfile.write(wav_path, sampling_rate, (track / peak * 32767).astype(np.int16))
-    return video_path, wav_path
+    pcm = (track / peak * 32767).astype(np.int16)
+    return mux_avi(list(images), pcm, video_path, fps, sampling_rate)
 
 
 def observations_to_image(obs: dict, info: dict | None = None) -> np.ndarray:

@@ -29,19 +29,42 @@ def test_tensorboard_writer(tmp_path):
     w2.close()
 
 
-def test_video_with_audio(tmp_path):
+def test_video_with_audio_single_muxed_file(tmp_path):
+    """One AVI holds BOTH streams, frame-aligned (the reference's
+    images_to_video_with_audio contract, common/utils.py:279-318) — parse
+    the RIFF structure back and verify the interleaving and payloads."""
+    import struct
+
     from soundspaces_tpu.utils.video import images_to_video_with_audio
 
-    frames = [np.full((32, 32, 3), i * 20, np.uint8) for i in range(5)]
+    frames = [np.full((32, 30, 3), i * 20, np.uint8) for i in range(5)]
     audios = [np.random.randn(2, 4000).astype(np.float32) for _ in range(5)]
-    vp, wp = images_to_video_with_audio(
+    vp = images_to_video_with_audio(
         frames, audios, str(tmp_path), "demo", sampling_rate=4000, fps=1
     )
-    assert os.path.getsize(vp) > 0
-    from scipy.io import wavfile
-
-    sr, data = wavfile.read(wp)
-    assert sr == 4000 and data.shape == (5 * 4000, 2)
+    data = open(vp, "rb").read()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # walk the movi chunks: must alternate 00db (video) / 01wb (audio)
+    movi_at = data.find(b"LIST", 12)
+    kinds = []
+    pos = data.find(b"movi") + 4
+    while pos < len(data) - 8:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if fourcc == b"idx1":
+            break
+        kinds.append(fourcc)
+        if fourcc == b"00db":
+            row_bytes = (30 * 3 + 3) & ~3
+            assert size == row_bytes * 32
+        if fourcc == b"01wb":
+            assert size == 4000 * 4  # 1 s of 2ch int16
+        pos += 8 + size + (size % 2)
+    assert kinds == [b"00db", b"01wb"] * 5
+    # first video chunk's first pixel: frame 0 is all-0 -> BGR 0
+    # second frame value 20 everywhere
+    assert b"idx1" in data
 
 
 def test_observations_to_image():
@@ -168,8 +191,10 @@ def test_evaluate_writes_videos(tmp_path):
     import os as _os
 
     assert stats["episode_count"] >= 1
-    assert any(f.endswith(".avi") for f in _os.listdir(tmp_path))
-    assert any(f.endswith(".wav") for f in _os.listdir(tmp_path))
+    avis = [f for f in _os.listdir(tmp_path) if f.endswith(".avi")]
+    assert avis  # one muxed file per episode (video + PCM audio inside)
+    head = open(tmp_path / avis[0], "rb").read(12)
+    assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
 
 
 def test_top_down_map_render():
