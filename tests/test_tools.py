@@ -157,3 +157,25 @@ def test_download_unpack_places_scene(tmp_path):
     urls = ["http://x/binaural_rirs/replica/apartment_0.tar.gz",
             "http://x/binaural_rirs/replica/office_1.tar.gz"]
     assert missing_urls(urls, str(out), "replica", "binaural_rirs") == []
+
+
+def test_panoir_fov_table_live_stitching():
+    """The reference's per-fov view tables (render_panoIR.py:80-96) drive
+    the live-raycaster panorama: width = W * n_views for every fov."""
+    import numpy as np
+
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.tools.panoir import FOV_TABLE, render_panoir_live
+
+    assets = make_synthetic_assets(num_nodes_hint=20, sampling_rate=2000,
+                                   rir_max_len=300, image_size=8, seed=21)
+    for fov in (90, 60):
+        (h, w), angles = FOV_TABLE[fov]
+        out = render_panoir_live(
+            assets, np.asarray([0, 3]), np.asarray([0, 1]), fov=fov
+        )
+        assert out["pano"].shape == (2, h, w * len(angles), 1)
+        assert np.isfinite(out["pano"]).all()
+        assert out["ir"].shape[0] == 2 and out["polar"].shape == (2, 2)
+    # fov-20 table: 18 views (the mp3d PanoIR setting)
+    assert len(FOV_TABLE[20][1]) == 18
