@@ -44,6 +44,46 @@ from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGH
 FRESH_RIR_SOURCES = ("tracer", "parametric", "neural")
 
 
+def add_step_window_table(scene: DeviceScene, step_time: float) -> DeviceScene:
+    """Precompute the delay-line spectra at every step-window-aligned cursor
+    (computed ON DEVICE from the wrap-extended sources — nothing uploads).
+
+    The continuous cursor advances by exactly step_time*sr each step
+    (continuous_simulator.py:422), so once the RANDOM INITIAL cursor
+    (continuous_simulator.py:344) is quantized to window boundaries, every
+    cursor the episode can visit lies on the W = max_samples/window grid —
+    and the per-step forward FFTs (the continuous mode's dominant cost)
+    become one gather from this [S, W, K, B] table, exactly like the
+    discrete path's per-second spectra bank. Returns the scene unchanged if
+    the sound lengths don't divide into whole windows."""
+    num_sample = int(round(step_time * scene.sampling_rate))
+    if scene.sounds_ext is None or num_sample <= 0:
+        return scene
+    lengths = np.asarray(scene.sound_lengths_sec) * scene.sampling_rate
+    if (lengths % num_sample).any():
+        return scene  # cursor grid would drift off the table
+    max_w = int(scene.sounds.shape[1]) // num_sample
+    if max_w <= 0:
+        return scene
+    starts = jnp.arange(max_w, dtype=jnp.int32) * num_sample
+
+    @jax.jit
+    def build(ext_rows):
+        f = jax.vmap(
+            jax.vmap(
+                lambda ext, s: segment_block_ffts_from_ext(
+                    ext, s, num_sample, scene.rir_max_len, scene.conv_block
+                ),
+                in_axes=(None, 0),
+            ),
+            in_axes=(0, None),
+        )
+        return f(ext_rows, starts)
+
+    table = build(scene.sounds_ext)  # [S, W, K, B] packed c64
+    return scene.replace(seg_step_fft=table, step_window=num_sample)
+
+
 @dataclasses.dataclass(frozen=True)
 class ContinuousConfig:
     """Continuous-mode knobs (reference av_nav/config/default.py:216-227:
@@ -97,6 +137,12 @@ class ContinuousConfig:
     # step (lax.map) — large audio batches lose HBM locality (see
     # EnvConfig.step_chunks)
     step_chunks: int = 1
+    # quantize the random initial sample cursor to step-window boundaries so
+    # per-step delay-line spectra come from the precomputed seg_step_fft
+    # table (add_step_window_table) — no forward FFTs on the hot path; the
+    # only semantic change vs the reference is that the random initial
+    # cursor (continuous_simulator.py:344) lands on a window boundary
+    quantized_cursor: bool = True
     # "random" (training) or "sequential" (eval sweeps over a fixed episode
     # list — EnvConfig.episode_sampling)
     episode_sampling: str = "random"
@@ -194,6 +240,14 @@ class ContinuousAudioNavEnv:
                     config.parametric_noise_seed,
                 )
             )
+        if (
+            config.quantized_cursor
+            and scene.seg_step_fft is None
+            and scene.sounds_ext is not None
+        ):
+            self.scene = scene = add_step_window_table(
+                scene, config.step_time
+            )
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
 
@@ -261,10 +315,16 @@ class ContinuousAudioNavEnv:
             270.0 - 90.0 * ep.start_rot_idx[i].astype(jnp.float32)
         )
         sound_len = jnp.maximum(scene.sound_lengths_sec[ep.sound_id[i]], 1)
-        # random initial sample cursor (continuous_simulator.py:344)
-        sample0 = jax.random.randint(
-            sub2, (), 0, sound_len * scene.sampling_rate
-        )
+        # random initial sample cursor (continuous_simulator.py:344),
+        # quantized to step-window boundaries when the spectra table is on
+        if self.config.quantized_cursor and scene.seg_step_fft is not None:
+            w = scene.step_window
+            n_windows = jnp.maximum(sound_len * scene.sampling_rate // w, 1)
+            sample0 = jax.random.randint(sub2, (), 0, n_windows) * w
+        else:
+            sample0 = jax.random.randint(
+                sub2, (), 0, sound_len * scene.sampling_rate
+            )
         fresh_mode = self.config.rir_source in FRESH_RIR_SOURCES
         zero_rir = (
             jnp.zeros((2, scene.rir_max_len), jnp.float32)
@@ -545,7 +605,14 @@ class ContinuousAudioNavEnv:
         cfg = self.config
         d_sound = jnp.maximum(state.distractor_sound_id, 0)
         d_slot = jnp.maximum(state.distractor_slot, 0)
-        d_state = state.replace(sound_id=d_sound, goal_slot=d_slot)
+        d_samples = (
+            jnp.maximum(scene.sound_lengths_sec[d_sound], 1)
+            * scene.sampling_rate
+        )
+        d_state = state.replace(
+            sound_id=d_sound, goal_slot=d_slot,
+            sample_index=state.sample_index % d_samples,
+        )
         seg = self._seg_spectra(scene, d_state)
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
@@ -579,6 +646,16 @@ class ContinuousAudioNavEnv:
         cfg = self.config
         sr = scene.sampling_rate
         num_sample = int(round(cfg.step_time * sr))
+        if (
+            cfg.quantized_cursor
+            and scene.seg_step_fft is not None
+            and scene.step_window == num_sample
+        ):
+            # quantized-cursor fast path: the spectra are a table GATHER
+            # (the cursor only ever visits window boundaries)
+            return scene.seg_step_fft[
+                state.sound_id, state.sample_index // num_sample
+            ]
         if scene.sounds_ext is not None:
             return segment_block_ffts_from_ext(
                 scene.sounds_ext[state.sound_id], state.sample_index,

@@ -90,6 +90,13 @@ class DeviceScene:
     # wrap-extended sources [S, P*B + max_samples + tail] for the continuous
     # mode's contiguous-slice delay-line windows (extend_source_for_slicing)
     sounds_ext: jax.Array | None = None
+    # continuous-mode quantized-cursor table [S, W, K, B] c64: delay-line
+    # spectra at every step_window-aligned cursor — when the random initial
+    # cursor is quantized to window boundaries, every per-step spectrum is a
+    # GATHER from this table (no forward FFTs on the continuous hot path;
+    # see env/continuous.add_step_window_table)
+    seg_step_fft: jax.Array | None = None
+    step_window: int = struct.field(pytree_node=False, default=0)
     # [max_instances] instance id -> mpcat40 id (SemanticObjectSensor)
     instance_to_mpcat: jax.Array | None = None
     grid_size: float = struct.field(pytree_node=False, default=0.5)
