@@ -216,7 +216,7 @@ class PPOTrainer:
         params, opt_state, carry = self.init_state(rng)
         start_update = 0
         if resume_from:
-            if carry.norm_stats is not None:
+            if getattr(carry, "norm_stats", None) is not None:
                 params, opt_state, start_update, stats = self.load_checkpoint(
                     resume_from, params, opt_state, carry.norm_stats
                 )
@@ -298,13 +298,17 @@ class PPOTrainer:
                 if log_fn:
                     log_fn(update, m)
             if (update + 1) % cfg.checkpoint_interval == 0:
-                self.save_checkpoint(params, opt_state, update + 1,
-                                     norm_stats=carry.norm_stats)
+                self.save_checkpoint(
+                    params, opt_state, update + 1,
+                    norm_stats=getattr(carry, "norm_stats", None),
+                )
             if preemption.EXIT_REQUESTED:
                 # snapshot at the update boundary and optionally requeue
                 # (the reference's SIGUSR1 flow, ddppo_trainer.py:250-272)
-                path = self.save_checkpoint(params, opt_state, update + 1,
-                                            norm_stats=carry.norm_stats)
+                path = self.save_checkpoint(
+                    params, opt_state, update + 1,
+                    norm_stats=getattr(carry, "norm_stats", None),
+                )
                 if preemption.REQUEUE_REQUESTED:
                     preemption.requeue_job()
                 break

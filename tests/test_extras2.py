@@ -18,7 +18,11 @@ def ego_env():
                                    rir_max_len=800, image_size=8, seed=81)
     scene = DeviceScene.from_assets(assets)
     episodes = make_episode_bank(assets, 16, seed=82)
-    env = AudioNavEnv(EnvConfig(sensors=("spectrogram", "egomap")),
+    # oracle grid-crop mode: these tests pin the ground-truth-crop
+    # semantics; the default depth-projection mode is covered by
+    # tests/test_egomap.py
+    env = AudioNavEnv(EnvConfig(sensors=("spectrogram", "egomap"),
+                                egomap_from_depth=False),
                       scene, episodes, 2)
     return assets, env
 
