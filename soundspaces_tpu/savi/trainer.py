@@ -52,7 +52,8 @@ class SAViCarry:
     obs: dict[str, jax.Array]
     policy_state: SMTPolicyState
     prev_done: jax.Array
-    location_belief: jax.Array  # [N, 2]
+    location_belief: jax.Array  # [N, 2] smoothed goal-location belief
+    prev_pose: jax.Array  # [N, 4] last step's pose obs (odometry smoothing)
     rng: jax.Array
 
 
@@ -104,9 +105,36 @@ class SAViTrainer:
             policy_state=pstate,
             prev_done=jnp.zeros(self.env.num_envs, bool),
             location_belief=loc_belief,
+            prev_pose=obs.get(
+                "pose", jnp.zeros((self.env.num_envs, 4))
+            ),
             rng=rng,
         )
         return params, opt_state, bparams, bopt, carry
+
+    def _smoothed_location(self, bparams, obs, prev_belief, prev_pose,
+                           first_step):
+        """Fresh prediction blended with the odometry-transformed previous
+        estimate (the reference's temporal smoothing,
+        belief_predictor.py:136-202 with weighting_factor 0.5)."""
+        raw, _ = self.belief.predict(bparams, obs["spectrogram"])
+        if "pose" not in obs:
+            return raw
+        pose = obs["pose"]
+        d_start = pose[..., :2] - prev_pose[..., :2]
+        h0 = prev_pose[..., 2]
+        c, s = jnp.cos(-h0), jnp.sin(-h0)
+        delta = jnp.stack(
+            [
+                c * d_start[..., 0] - s * d_start[..., 1],
+                s * d_start[..., 0] + c * d_start[..., 1],
+                pose[..., 2] - h0,
+            ],
+            axis=-1,
+        )
+        return self.belief.smooth_location(
+            prev_belief, raw, delta, first_step=first_step
+        )
 
     def _with_beliefs(self, bparams, obs, location_belief):
         obs = dict(obs)
@@ -285,22 +313,26 @@ class SAViTrainer:
         )
         loc_belief = jnp.zeros((env.num_envs, 2))
         prev_done = jnp.zeros(env.num_envs, bool)
+        prev_pose = obs.get("pose", jnp.zeros((env.num_envs, 4)))
 
         @jax.jit
         def eval_step(scene, episodes, params, bparams, env_state, obs,
-                      pstate, loc_belief, prev_done, key):
+                      pstate, loc_belief, prev_pose, prev_done, key):
             not_done = 1.0 - prev_done.astype(jnp.float32)
             if self.savi.use_belief_predictor and bparams is not None:
-                loc_belief, _ = self.belief.predict(bparams, obs["spectrogram"])
+                loc_belief = self._smoothed_location(
+                    bparams, obs, loc_belief, prev_pose, prev_done
+                )
             obs_b = self._with_beliefs(bparams, obs, loc_belief)
             action, _, _, pstate = self.policy.apply(
                 params, obs_b, pstate, not_done, key, deterministic,
                 method=self.policy.act,
             )
+            pose_now = obs.get("pose", prev_pose)
             env_state, obs, _, done, info = env.step_pure(
                 scene, episodes, env_state, action
             )
-            return env_state, obs, pstate, loc_belief, done, info
+            return env_state, obs, pstate, loc_belief, pose_now, done, info
 
         totals: dict[str, float] = {}
         count = 0
@@ -309,9 +341,11 @@ class SAViTrainer:
         )
         for _ in range(max_steps):
             rng, key = jax.random.split(rng)
-            env_state, obs, pstate, loc_belief, done, info = eval_step(
-                env.scene, env.episodes, params, bparams, env_state, obs,
-                pstate, loc_belief, prev_done, key,
+            env_state, obs, pstate, loc_belief, prev_pose, done, info = (
+                eval_step(
+                    env.scene, env.episodes, params, bparams, env_state, obs,
+                    pstate, loc_belief, prev_pose, prev_done, key,
+                )
             )
             prev_done = done
             d = np.asarray(done)
@@ -339,11 +373,13 @@ class SAViTrainer:
             def one_step(c: SAViCarry, _):
                 rng, key = jax.random.split(c.rng)
                 not_done = 1.0 - c.prev_done.astype(jnp.float32)
-                # belief location update (temporal smoothing happens on the
-                # predictor's fresh estimate each step)
+                # location belief with odometry-transformed temporal
+                # smoothing (belief_predictor.py:136-202; episode starts
+                # take the fresh prediction)
                 if savi.use_belief_predictor and bparams is not None:
-                    fresh_loc, _ = self.belief.predict(
-                        bparams, c.obs["spectrogram"]
+                    fresh_loc = self._smoothed_location(
+                        bparams, c.obs, c.location_belief, c.prev_pose,
+                        c.prev_done,
                     )
                 else:
                     fresh_loc = c.location_belief
@@ -366,8 +402,10 @@ class SAViTrainer:
                     prev_dones=c.prev_done,
                     infos=info,
                 )
+                pose_now = c.obs.get("pose", c.prev_pose)
                 return (
-                    SAViCarry(env_state, obs, pstate, done, fresh_loc, rng),
+                    SAViCarry(env_state, obs, pstate, done, fresh_loc,
+                              pose_now, rng),
                     out,
                 )
 

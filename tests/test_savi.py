@@ -269,3 +269,30 @@ def test_belief_ablation_zeroes_policy_inputs():
     obs_b = tr._with_beliefs(bparams, obs, jnp.ones((2, 2)))
     assert float(np.abs(np.asarray(obs_b["location_belief"])).max()) == 0.0
     assert float(np.abs(np.asarray(obs_b["category_belief"])).max()) == 0.0
+
+
+def test_location_belief_odometry_smoothing():
+    """smooth_location: the previous estimate is transported through the
+    agent's motion before averaging (belief_predictor.py:136-202,
+    base_to_odom/odom_to_base 210-226)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.savi.belief import BeliefPredictor
+
+    prev = jnp.asarray([[2.0, 0.0]])  # goal 2 m ahead in the old frame
+    fresh = jnp.asarray([[1.0, 0.0]])
+    # agent moved 1 m forward, no rotation: prev-in-new = (1, 0) -> mix = 1
+    delta = jnp.asarray([[1.0, 0.0, 0.0]])
+    out = BeliefPredictor.smooth_location(prev, fresh, delta, weight=0.5)
+    np.testing.assert_allclose(np.asarray(out), [[1.0, 0.0]], atol=1e-6)
+    # pure 90-degree left turn: (2, 0) ahead becomes (0, -2) in the new
+    # frame (rotation by -dh)
+    delta = jnp.asarray([[0.0, 0.0, np.pi / 2]])
+    out = BeliefPredictor.smooth_location(prev, fresh, delta, weight=1.0)
+    np.testing.assert_allclose(np.asarray(out), [[0.0, -2.0]], atol=1e-6)
+    # first step takes the fresh prediction outright
+    out = BeliefPredictor.smooth_location(
+        prev, fresh, delta, weight=1.0, first_step=jnp.asarray([True])
+    )
+    np.testing.assert_allclose(np.asarray(out), [[1.0, 0.0]], atol=1e-6)
