@@ -617,14 +617,15 @@ class ContinuousAudioNavEnv:
         node = self._nearest_node(scene, state.x, state.z)
         az = self._az_idx(state.heading)
         rir = self._bank_rir(scene, d_state, node, az)
-        if cfg.use_crossfade:
-            prev = self._bank_rir(
-                scene, d_state, state.prev_node, state.prev_az
-            )
-            rir = jnp.concatenate([prev, rir], axis=0)
         audio = self._render_audio(scene, d_state, rir, seg)
         if cfg.use_crossfade:
-            audio = crossfade(audio[:2], audio[2:], scene.sampling_rate)
+            prev_head = self._render_audio_head(
+                scene,
+                self._bank_rir(scene, d_state, state.prev_node,
+                               state.prev_az),
+                seg,
+            )
+            audio = crossfade(prev_head, audio, scene.sampling_rate)
         has_d = (state.distractor_sound_id >= 0) & (
             state.distractor_slot >= 0
         )
@@ -680,6 +681,21 @@ class ContinuousAudioNavEnv:
         # zero-pad to 1 s like the reference (continuous_simulator.py:454)
         return jnp.pad(audio, ((0, 0), (0, sr - num_sample)))
 
+    def _render_audio_head(self, scene, rir, seg):
+        """Only the crossfade head ([C, fade_samples]) of conv(source, rir)
+        — the previous-step RIR's audio never contributes past the 50 ms
+        fade (crossfade keeps x2 afterwards), so its convolution needs just
+        the FIRST output block: t_out=1, i.e. the first P segment blocks."""
+        from soundspaces_tpu.ops.crossfade import fade_samples
+        from soundspaces_tpu.ops.partitioned import num_partitions
+
+        p = num_partitions(scene.rir_max_len, scene.conv_block)
+        n = fade_samples(scene.sampling_rate)
+        assert n <= scene.conv_block, "fade must fit one output block"
+        return partitioned_windowed_convolve(
+            seg[:p], rir, n, scene.conv_block
+        )
+
     def _render_audio_fft(self, scene, state, rir_fft, seg):
         """Bank-mode fast path: convolve against PRECOMPUTED RIR partition
         spectra (scene.rir_part_fft) — no per-step forward RIR FFTs."""
@@ -699,15 +715,17 @@ class ContinuousAudioNavEnv:
         seg = self._seg_spectra(scene, state)
         use_fft_bank = not fresh_mode and scene.rir_part_fft is not None
         xf = cfg.use_crossfade
-        # crossfade pair rendered as ONE convolve over stacked channels
-        # [prev_L, prev_R, cur_L, cur_R] — halves per-step kernel count and
-        # doubles the MXU batch of the accumulate/iFFT matmuls
+        # the current RIR renders the full window; the PREVIOUS RIR renders
+        # only the 50 ms crossfade head (its audio never contributes past
+        # the fade) — one full 2-ch convolve + one single-block 2-ch head
+        # instead of a 4-ch full convolve
+        prev_head = None
         if fresh_mode:
-            rir = (
-                jnp.concatenate([state.prev_rir, state.rir], axis=0)
-                if xf else state.rir
-            )
-            audio = self._render_audio(scene, state, rir, seg)
+            audio = self._render_audio(scene, state, state.rir, seg)
+            if xf:
+                prev_head = self._render_audio_head(
+                    scene, state.prev_rir, seg
+                )
         elif use_fft_bank:
             h = scene.rir_part_fft[az, node, state.goal_slot]
             if xf:
@@ -716,16 +734,20 @@ class ContinuousAudioNavEnv:
                 ]
                 h = jnp.concatenate([hp, h], axis=0)
             audio = self._render_audio_fft(scene, state, h, seg)
+            if xf:
+                audio = crossfade(audio[:2], audio[2:], scene.sampling_rate)
         else:
             rir = self._bank_rir(scene, state, node, az)
-            if xf:
-                prev_rir = self._bank_rir(
-                    scene, state, state.prev_node, state.prev_az
-                )
-                rir = jnp.concatenate([prev_rir, rir], axis=0)
             audio = self._render_audio(scene, state, rir, seg)
-        if xf:
-            audio = crossfade(audio[:2], audio[2:], scene.sampling_rate)
+            if xf:
+                prev_head = self._render_audio_head(
+                    scene,
+                    self._bank_rir(scene, state, state.prev_node,
+                                   state.prev_az),
+                    seg,
+                )
+        if prev_head is not None:
+            audio = crossfade(prev_head, audio, scene.sampling_rate)
         if cfg.has_distractor_sound:
             # distractor source convolved with its own pose RIR and mixed in
             # (simulator.py:649-664; crossfade is linear so summing the
