@@ -9,10 +9,19 @@ nx.shortest_path (88-130), and removes graph nodes on collision evidence
 (151-162). None of that sees the simulator's true walkability — the agent
 plans on what it has mapped.
 
+The reference plans OPTIMISTICALLY: `_map_to_graph` (planner.py:176-177,
+"0 indicates free or unexplored") builds the full navigability graph from
+the EMPTY map at construction — a cell is an obstacle only when
+obstacle>=0.5 AND explored>=0.5 — and nodes/edges are REMOVED as mapped
+obstacle and collision evidence accrues (update_map_and_graph,
+planner.py:56-77). Unknown space is navigable until proven otherwise; the
+mask starts wide and TIGHTENS with evidence.
+
 TPU-native form, all static shapes:
 - `coarse_free_window`: pool the 0.1 m geometric map into 0.5 m planning
-  cells around the agent (free = explored enough + no obstacle evidence in
-  the cell core; the agent's own cell is always free — it stands there).
+  cells around the agent (free = no EXPLORED-obstacle evidence in the cell
+  core — unexplored cells are free, matching planner.py:176-177; the
+  agent's own cell is always free — it stands there).
 - `reachable_from_center`: K-step BFS wavefront (4-neighbor dilation masked
   by free cells) — `check_navigability`.
 - `distance_field`: min-plus BFS distances from the chosen waypoint —
@@ -37,11 +46,13 @@ def coarse_free_window(
     cell_z: jax.Array,  # rows
     window: int = 17,  # planning window in 0.5 m cells
     scale: int = 5,  # 0.1 m cells per planning cell
-    explored_thresh: float = 0.15,
+    obstacle_thresh: float = 0.5,  # planner._obstacle_threshold
 ) -> jax.Array:
     """[window, window] float32 free-cell mask around the agent (agent at
-    the center cell). A planning cell is free iff the mapper has explored
-    enough of it and its 3x3 core shows no obstacle evidence."""
+    the center cell). OPTIMISTIC, like the reference's map graph
+    (planner.py:176-177): a planning cell is blocked only when its 3x3 core
+    holds a fine cell with EXPLORED obstacle evidence (obstacle>=thresh AND
+    explored>=thresh); unexplored space is free until proven otherwise."""
     m = geometric.shape[0]
     e = window * scale
     # agent block's top-left in 0.1 m cells: map center + cell*scale - e/2
@@ -50,13 +61,13 @@ def coarse_free_window(
     row = jnp.clip(row, 0, m - e)
     col = jnp.clip(col, 0, m - e)
     patch = jax.lax.dynamic_slice(geometric, (row, col, 0), (e, e, 2))
-    blocks = patch.reshape(window, scale, window, scale, 2)
-    explored = blocks[..., 1].mean(axis=(1, 3))
     core = patch.reshape(window, scale, window, scale, 2)[
-        :, 1 : scale - 1, :, 1 : scale - 1, 0
+        :, 1 : scale - 1, :, 1 : scale - 1, :
     ]
-    obstacle = core.max(axis=(1, 3))
-    free = (explored >= explored_thresh) & (obstacle < 0.5)
+    evidence = (core[..., 0] >= obstacle_thresh) & (
+        core[..., 1] >= obstacle_thresh
+    )
+    free = ~evidence.any(axis=(1, 3))
     c = window // 2
     free = free.at[c, c].set(True)  # the agent's own cell
     return free.astype(jnp.float32)

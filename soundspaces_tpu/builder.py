@@ -293,7 +293,9 @@ def build_waypoint_env(
         acoustic_map_size=cfg.avwan.acoustic_map_size,
     )
     wp_cfg = WaypointConfig(
-        prediction_interval=cfg.avwan.prediction_interval, mapper=mapper
+        prediction_interval=cfg.avwan.prediction_interval, mapper=mapper,
+        plan_from_map=cfg.avwan.plan_from_map,
+        egomap_depth_hw=cfg.avwan.egomap_depth_hw,
     )
     tables = build_waypoint_tables(assets.graph, mapper)
     return WaypointNavEnv(

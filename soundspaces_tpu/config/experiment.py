@@ -99,6 +99,10 @@ class AVWanConfig:
     action_map_size: int = 9
     geometric_map_size: int = 200
     acoustic_map_size: int = 20
+    # True: plan on the agent-built map (the reference's partially observed
+    # setting); False: ground-truth tables (test oracle)
+    plan_from_map: bool = True
+    egomap_depth_hw: int = 64  # depth-render resolution for the projection
 
 
 @dataclasses.dataclass(frozen=True)

@@ -239,17 +239,17 @@ def test_avwan_trainer_full_loop(wp_world, tmp_path):
     assert stats["episode_count"] >= 1
 
 
-def test_mask_grows_as_map_fills(wp_world):
-    """Partial observability: the waypoint mask starts tight (only mapped
-    cells are navigable) and widens as the agent explores and the map fills
-    in (planner.check_navigability over the agent-built map,
-    planner.py:142-168)."""
+def test_mask_optimistic_then_tightens(wp_world):
+    """The reference plans OPTIMISTICALLY: unexplored space is navigable
+    (planner.py:176-177 — the full graph is built from the EMPTY map at
+    construction) and the mask TIGHTENS as mapped obstacle evidence removes
+    cells (update_map_and_graph, planner.py:56-77). The mask must start
+    wide and shrink somewhere once the depth camera has seen walls."""
     _, env = wp_world
     state, obs = env.reset(jax.random.PRNGKey(11))
     mask0 = np.asarray(obs["action_map"]).reshape(2, 81).sum(axis=1)
-    total = np.asarray(env.base.scene.occupancy).size
-    # far fewer than all 81 waypoints are navigable before exploring
-    assert (mask0 < 40).all()
+    # optimistic start: most of the 81 action cells are offered
+    assert (mask0 > 40).all(), f"mask not optimistic at reset: {mask0}"
     counts = [mask0]
     for t in range(6):
         mask = np.asarray(obs["action_map"]).reshape(2, 81)
@@ -265,24 +265,35 @@ def test_mask_grows_as_map_fills(wp_world):
             wps.append(int(nz[np.argmax(d)]))
         state, obs, _, done, _ = env.step(state, jnp.asarray(wps))
         counts.append(np.asarray(obs["action_map"]).reshape(2, 81).sum(axis=1))
-    grew = np.maximum.reduce(counts[1:]) > counts[0]
-    assert grew.any(), f"mask never widened: {np.stack(counts)}"
+    all_counts = np.stack(counts)
+    # walls were seen along the way: some mask excluded blocked cells
+    assert (all_counts < 81).any(), f"mask never tightened: {all_counts}"
 
 
 def test_unreachable_waypoint_raises_cant_reach(wp_world):
-    """Choosing an unmapped/unreachable waypoint fires cant_reach_waypoint
-    (mapnav_env.py:56-106) and the agent does not teleport."""
+    """Choosing a waypoint the map shows blocked fires cant_reach_waypoint
+    (mapnav_env.py:56-106) and the agent does not teleport. Under the
+    optimistic mask nothing is blocked at reset, so stamp collision
+    evidence ahead first (planner.py:151-162) and pick that cell."""
+    from soundspaces_tpu.avwan.env import _mark_blocked_ahead
+
     _, env = wp_world
     state, obs = env.reset(jax.random.PRNGKey(12))
-    mask = np.asarray(obs["action_map"]).reshape(2, 81)
-    wps = []
-    for i in range(2):
-        off = np.nonzero(mask[i] == 0)[0]
-        assert off.size, "everything navigable — cannot test cant-reach"
-        # corner-most unnavigable waypoint
-        wps.append(int(off[0]))
+    tables = env.tables()
+    cx = tables.node_cell_x[state.base.node] - tables.node_cell_x[state.base.start_node]
+    cz = tables.node_cell_z[state.base.node] - tables.node_cell_z[state.base.start_node]
+    mapper2 = jax.vmap(
+        lambda mp, x, z, r: _mark_blocked_ahead(env.wp.mapper, mp, x, z, r, 5)
+    )(state.mapper, cx * 5, cz * 5, state.base.rot_idx)
+    state = state.replace(mapper=mapper2)
+    # the cell directly ahead (one ego cell up) is now masked off
+    ahead = (4 - 1) * 9 + 4
+    mask = np.asarray(jax.vmap(
+        lambda s: env._action_mask(env.base.scene, tables, s)
+    )(state))
+    assert (mask[:, ahead] == 0.0).all()
     node0 = np.asarray(state.base.node)
-    state1, obs1, reward, done, info = env.step(state, jnp.asarray(wps))
+    state1, obs1, reward, done, info = env.step(state, jnp.full((2,), ahead))
     cant = np.asarray(info["cant_reach_waypoint"])
     assert (cant == 1.0).all()
     # no movement happened toward an unplannable target
