@@ -107,17 +107,23 @@ class AcousticBank:
         `{dir}/{azimuth}/{receiver}_{source}.wav` with azimuth in
         {0, 90, 180, 270} (simulator.py:614-616). Missing/empty files become
         silent RIRs, matching the reference's fallback (simulator.py:619-624).
+        Filenames use the graph's ORIGINAL node ids (`graph.node_ids`) — on
+        real reference metadata these are non-contiguous (adjust_graph node
+        removals), while `r`/`goal_nodes` here are dense row indices.
         """
         from scipy.io import wavfile
 
         goal_nodes = np.asarray(goal_nodes, np.int32)
         n, g = graph.num_nodes, len(goal_nodes)
+        ids = np.asarray(graph.node_ids, np.int64)
         loaded: dict[tuple[int, int, int], np.ndarray] = {}
         max_len = 0
         for ai, angle in enumerate((0, 90, 180, 270)):
             for r in range(n):
                 for gi, s in enumerate(goal_nodes):
-                    path = os.path.join(binaural_rir_dir, str(angle), f"{r}_{s}.wav")
+                    path = os.path.join(
+                        binaural_rir_dir, str(angle), f"{ids[r]}_{ids[s]}.wav"
+                    )
                     if not os.path.exists(path):
                         continue
                     try:

@@ -61,6 +61,17 @@ class SceneGraph:
     geodesic_hops: np.ndarray  # [N, N] int16, UNREACHABLE if disconnected
     oracle_action: np.ndarray  # [N, N] int16 next-hop node toward goal (-1 at goal)
     grid_size: float = 0.5
+    # Original reference node ids, [N] int64. The reference's graph.pkl files
+    # have GAPS in their node numbering (generate_replica_metadata.py:20-58
+    # removes nodes by hand; generate_matterport3d_metadata.py:20-30 trims
+    # small components) and its RIR files are named by those original ids
+    # (`{azimuth}/{receiver}_{source}.wav`, simulator.py:614-616). Internally
+    # every table is dense row-indexed; this map recovers the on-disk id.
+    node_ids: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.node_ids is None:
+            self.node_ids = np.arange(self.points.shape[0], dtype=np.int64)
 
     @property
     def num_nodes(self) -> int:
@@ -140,16 +151,23 @@ class SceneGraph:
     def from_metadata(cls, metadata_dir: str, grid_size: float = 0.5) -> "SceneGraph":
         """Load the reference's per-scene metadata: `graph.pkl` is a pickled
         networkx graph whose nodes carry `point` coords
-        (soundspaces/utils.py:15-39)."""
+        (soundspaces/utils.py:15-39). Node ids may be NON-contiguous (the
+        reference's adjust_graph removes nodes, generate_replica_metadata.py:
+        20-58) — they are densified here and preserved in `node_ids` so RIR
+        filenames keyed by original id still resolve."""
         import os
 
         with open(os.path.join(metadata_dir, "graph.pkl"), "rb") as f:
             g = pickle.load(f)
         nodes = sorted(g.nodes())
-        assert nodes == list(range(len(nodes))), "expected contiguous node ids"
+        remap = {orig: row for row, orig in enumerate(nodes)}
         points = np.array([g.nodes[i]["point"] for i in nodes], np.float32)
-        edges = np.array([(a, b) for a, b in g.edges()], np.int64)
-        return cls.from_edges(points, edges, grid_size)
+        edges = np.array(
+            [(remap[a], remap[b]) for a, b in g.edges()], np.int64
+        ).reshape(-1, 2)
+        out = cls.from_edges(points, edges, grid_size)
+        out.node_ids = np.array(nodes, np.int64)
+        return out
 
     def largest_component(self) -> "SceneGraph":
         n = self.num_nodes
@@ -171,6 +189,7 @@ class SceneGraph:
             self.geodesic_hops[np.ix_(keep, keep)],
             oracle,
             self.grid_size,
+            node_ids=self.node_ids[keep],
         )
 
 
