@@ -81,13 +81,24 @@ def load_source_sounds(sound_dir: str, sampling_rate: int):
 
 def discover_goal_nodes(binaural_rir_dir: str, graph: SceneGraph) -> np.ndarray:
     """Goal (source) node set = distinct source indices present in the RIR
-    directory's {receiver}_{source}.wav names."""
+    directory's {receiver}_{source}.wav names. Filenames carry ORIGINAL
+    graph.pkl node ids (non-contiguous on real reference metadata,
+    simulator.py:614-616) — returned as dense row indices via
+    graph.node_ids."""
     sources = set()
     angle_dir = os.path.join(binaural_rir_dir, "0")
     for fname in os.listdir(angle_dir):
         if fname.endswith(".wav"):
             sources.add(int(fname[:-4].split("_")[1]))
-    return np.array(sorted(sources), np.int32)
+    ids = np.asarray(graph.node_ids, np.int64)
+    orig = np.array(sorted(sources), np.int64)
+    rows = np.searchsorted(ids, orig)
+    valid = (rows < len(ids)) & (ids[np.minimum(rows, len(ids) - 1)] == orig)
+    assert valid.all(), (
+        f"RIR sources {orig[~valid][:5].tolist()} missing from graph.pkl "
+        "node ids (trimmed nodes?) — cannot resolve goal slots"
+    )
+    return rows.astype(np.int32)
 
 
 def load_episode_bank(
