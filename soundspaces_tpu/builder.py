@@ -43,7 +43,26 @@ def build_assets(cfg: ExperimentConfig) -> SceneAssets:
         if d.scene_observation_file
         else FrameBank({})
     )
-    return SceneAssets(graph=graph, acoustics=acoustics, frames=frames)
+    instance_to_mpcat = None
+    node_category = None
+    if d.house_file:
+        from soundspaces_tpu.scene.mp3d import HouseReader, CATEGORY_INDEX_MAPPING
+
+        house = HouseReader(d.house_file)
+        instance_to_mpcat = house.instance_to_mpcat40_table()
+        # per-node sounding-object category (synthetic-path parity): the
+        # category of the object AT the node, for nodes hosting one
+        node_category = np.zeros(graph.num_nodes, np.int32)
+        for obj in house.objects:
+            d2 = np.linalg.norm(graph.points - obj.position[None], axis=1)
+            name = house.categories.get(obj.category, "")
+            node_category[int(np.argmin(d2))] = CATEGORY_INDEX_MAPPING.get(
+                name, 0
+            )
+    return SceneAssets(
+        graph=graph, acoustics=acoustics, frames=frames,
+        instance_to_mpcat=instance_to_mpcat, node_category=node_category,
+    )
 
 
 def load_source_sounds(sound_dir: str, sampling_rate: int):
@@ -107,6 +126,8 @@ def load_episode_bank(
     """Episode bank from a reference-format {split}.json.gz dataset."""
     from soundspaces_tpu.datasets import AudioNavDataset, episodes_to_bank
 
+    from soundspaces_tpu.scene.mp3d import CATEGORY_INDEX_MAPPING
+
     ds = AudioNavDataset.from_split(split_path)
     _, names, _ = load_source_sounds(
         cfg.data.source_sound_dir, cfg.data.sampling_rate
@@ -114,6 +135,7 @@ def load_episode_bank(
     return episodes_to_bank(
         ds.episodes, assets.graph, assets.acoustics,
         {n: i for i, n in enumerate(names)},
+        category_to_id=CATEGORY_INDEX_MAPPING,
     )
 
 
@@ -327,8 +349,27 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
             use_gm=cfg.avwan.use_gm, use_am=cfg.avwan.use_am,
         )
     elif cfg.trainer_name == "savi":
+        import dataclasses
+
         from soundspaces_tpu.savi.trainer import SAViConfig, SAViTrainer
 
+        if (
+            cfg.smt.use_belief_predictor
+            and "pointgoal_with_gps_compass" not in cfg.env.sensors
+        ):
+            # online belief training reads the relative goal location as its
+            # regression label (savi/trainer.py step; the reference's belief
+            # predictor likewise derives it from task state,
+            # ppo_trainer.py:332-404) — not a policy input, so adding it
+            # does not change the observation the agent acts on
+            cfg = dataclasses.replace(
+                cfg,
+                env=dataclasses.replace(
+                    cfg.env,
+                    sensors=tuple(cfg.env.sensors)
+                    + ("pointgoal_with_gps_compass",),
+                ),
+            )
         env = build_env(cfg, assets)
         trainer = SAViTrainer(
             env,

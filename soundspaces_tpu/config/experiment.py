@@ -43,6 +43,9 @@ class DataConfig:
     binaural_rir_dir: str = ""
     source_sound_dir: str = ""
     scene_observation_file: str = ""
+    # MP3D .house object annotation: enables the semantic instance->mpcat40
+    # mapping for SemanticObjectSensor on real data (mp3d_utils.py:86-192)
+    house_file: str = ""
     episode_split_path: str = ""
     # eval-split episode file (the reference's EVAL.SPLIT dataset swap,
     # base_trainer.py:124-157); empty = reuse the training episodes

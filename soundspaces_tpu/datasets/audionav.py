@@ -189,12 +189,25 @@ def episodes_to_bank(
         if ep.distractor_sound_id is not None:
             d_sound[i] = sound_to_id[ep.distractor_sound_id]
         if ep.distractor_position_index is not None:
-            d_slot[i] = int(
-                acoustics.goal_slot_of_node[ep.distractor_position_index]
-            )
+            # an ORIGINAL graph.pkl node id (the simulator passes it straight
+            # to the RIR filename, semantic_audionav_task.py:204-205) —
+            # resolve to a dense row like discover_goal_nodes does
+            ids = np.asarray(graph.node_ids, np.int64)
+            row = int(np.searchsorted(ids, int(ep.distractor_position_index)))
+            assert row < len(ids) and ids[row] == int(
+                ep.distractor_position_index
+            ), f"distractor node {ep.distractor_position_index} not in graph"
+            d_slot[i] = int(acoustics.goal_slot_of_node[row])
         vps = [g]
         for vp in ep.goals[0].get("view_points") or []:
-            pos = (vp.get("agent_state") or {}).get("position")
+            # on disk a view point is a bare [x, y, z] agent-state position
+            # (ObjectViewLocation(view, ...) wraps it at load,
+            # semantic_audionav_dataset.py:146-150); accept the wrapped
+            # {agent_state: {position}} dict form too
+            if isinstance(vp, dict):
+                pos = (vp.get("agent_state") or {}).get("position")
+            else:
+                pos = vp
             if pos is not None:
                 vps.append(nearest_node(pos))
         vp_lists.append(sorted(set(vps)))

@@ -93,31 +93,48 @@ class HouseObject:
 
 class HouseReader:
     """Parse the MP3D `.house` text format: one record per line, keyed by a
-    leading token (`O` = object, `C` = category, `R` = region)."""
+    leading token (`O` = object, `C` = category, `R` = region). Column
+    layout per the format doc quoted in mp3d_utils.py:86-112:
+    `C category_index category_mapping_index category_mapping_name
+    mpcat40_index mpcat40_name 0...` and
+    `O object_index region_index category_index px py pz a0x a0y a0z
+    a1x a1y a1z r0 r1 r2 0...` (radii at tokens 13:16)."""
 
     def __init__(self, path: str):
         self.objects: list[HouseObject] = []
         self.categories: dict[int, str] = {}
+        self.category_to_mpcat40: dict[int, int] = {}
         with open(path) as f:
             for line in f:
                 parts = line.split()
                 if not parts:
                     continue
-                if parts[0] == "C" and len(parts) >= 4:
+                if parts[0] == "C" and len(parts) >= 6:
                     self.categories[int(parts[1])] = parts[3]
-                elif parts[0] == "O" and len(parts) >= 14:
+                    self.category_to_mpcat40[int(parts[1])] = int(parts[4])
+                elif parts[0] == "O" and len(parts) >= 16:
                     self.objects.append(
                         HouseObject(
                             index=int(parts[1]),
                             region=int(parts[2]),
                             category=int(parts[3]),
                             position=np.array(parts[4:7], np.float32),
-                            bbox_radius=np.array(parts[11:14], np.float32),
+                            bbox_radius=np.array(parts[13:16], np.float32),
                         )
                     )
 
     def compute_object_to_category_index_mapping(self) -> dict[int, int]:
         return {o.index: o.category for o in self.objects}
+
+    def instance_to_mpcat40_table(self) -> np.ndarray:
+        """[max_object_index + 2] raster instance id -> mpcat40 id, where
+        instance id = object index + 1 and 0 = background/void (the
+        SemanticObjectSensor's object->category remap, nav.py:675-681)."""
+        size = max((o.index for o in self.objects), default=0) + 2
+        table = np.zeros(size, np.int32)
+        for o in self.objects:
+            table[o.index + 1] = self.category_to_mpcat40.get(o.category, 0)
+        return table
 
     def objects_in_category(self, category: int) -> list[HouseObject]:
         return [o for o in self.objects if o.category == category]

@@ -144,6 +144,57 @@ def synth_frames(
     return FrameBank(out)
 
 
+def raster_object_frames(
+    graph: SceneGraph,
+    object_positions: np.ndarray,  # [O, 3]
+    object_nodes: np.ndarray,  # [O] nearest graph node per object
+    height: int,
+    width: int,
+    bbox_radius: float = 0.5,
+    max_dist: float = 6.0,
+    fov_deg: float = 90.0,
+) -> np.ndarray:
+    """[N, 4, H, W, 1] int32 instance rasters: object o paints instance id
+    o+1 (0 = background) into every (node, heading) view whose 90-degree
+    frustum contains it within max_dist — the role of habitat-sim's semantic
+    sensor render that the reference caches per (node, angle)
+    (scripts/cache_observations.py:44-107). Pinhole geometry: horizontal
+    pixel from the bearing tangent, rectangle size from bbox_radius/dist;
+    nearer objects paint over farther ones. Occlusion is approximated by
+    requiring the graph geodesic to roughly match the euclidean distance
+    (a wall between node and object makes the geodesic detour)."""
+    n = graph.num_nodes
+    out = np.zeros((n, 4, height, width, 1), np.int32)
+    pts = graph.points
+    half_fov = np.tan(np.radians(fov_deg / 2))
+    focal = (width / 2) / half_fov
+    order = []  # (dist, node, ai, obj)
+    for o, (opos, onode) in enumerate(zip(object_positions, object_nodes)):
+        delta = np.asarray(opos, np.float32) - pts  # [N, 3]
+        dist = np.linalg.norm(delta[:, [0, 2]], axis=1)
+        geo = graph.geodesic_hops[:, int(onode)].astype(np.float32) * graph.grid_size
+        visible = (dist <= max_dist) & (geo <= dist + 2.0 * graph.grid_size)
+        src_dir = np.degrees(np.arctan2(delta[:, 2], delta[:, 0]))
+        for ai in range(4):
+            # view index ai faces orientation (270 + 90*ai) % 360
+            # (the azimuth convention of synth_rir_bank above)
+            orientation = (270.0 + 90.0 * ai) % 360.0
+            rel = np.radians((src_dir - orientation + 180.0) % 360.0 - 180.0)
+            in_fov = visible & (np.abs(rel) < np.radians(fov_deg / 2))
+            for node in np.nonzero(in_fov)[0]:
+                order.append((float(dist[node]), int(node), ai, o,
+                              float(rel[node])))
+    # paint far-to-near so closer objects overwrite
+    for d, node, ai, o, rel in sorted(order, key=lambda t: -t[0]):
+        d = max(d, graph.grid_size / 2)
+        cx = int((np.tan(rel) / half_fov + 1.0) / 2.0 * (width - 1))
+        half = max(int(round(bbox_radius / d * focal)), 1)
+        h0, h1 = max(height // 2 - half, 0), min(height // 2 + half + 1, height)
+        w0, w1 = max(cx - half, 0), min(cx + half + 1, width)
+        out[node, ai, h0:h1, w0:w1, 0] = o + 1
+    return out
+
+
 NUM_SYNTH_INSTANCES = 16
 
 

@@ -164,6 +164,134 @@ def build_world(
     return summary
 
 
+def build_semantic_sounds(
+    categories: list[str], sampling_rate: int, clips_per: int = 2,
+    secs: float = 2.0,
+) -> dict[str, np.ndarray]:
+    """Distinct multi-clip voices per object category: each clip is a tonal
+    burst pattern whose f0/modulation are keyed on the category (shared
+    timbre family) and the clip index (variation), so sound -> category is
+    many-to-one and inferable but not an alias (the role of the reference's
+    per-category semantic sound set, semantic_audionav_task.py:28-46)."""
+    out: dict[str, np.ndarray] = {}
+    t = np.arange(int(secs * sampling_rate)) / sampling_rate
+    for ci, cat in enumerate(categories):
+        f_base = 260.0 * (2.0 ** (ci % 8 / 4.0))  # category timbre
+        for k in range(clips_per):
+            rng = np.random.default_rng(hash((cat, k)) % (1 << 31))
+            f0 = f_base * (1.0 + 0.06 * k)
+            mod = 2.5 + 2.0 * k + (ci % 3)
+            wave = np.sin(2 * np.pi * f0 * t) + 0.5 * np.sin(
+                2 * np.pi * 2.01 * f0 * t
+            )
+            gate = 0.55 + 0.45 * np.sign(np.sin(2 * np.pi * mod * t))
+            wave = wave * gate + 0.05 * rng.standard_normal(t.shape)
+            out[f"{cat}_{k}"] = (
+                0.4 * wave / np.abs(wave).max()
+            ).astype(np.float32)
+    return out
+
+
+def augment_semantic(
+    out: str,
+    scene: str = "apartment_1k",
+    categories: tuple[str, ...] = (
+        "tv_monitor", "sink", "cabinet", "table", "chair", "sofa",
+    ),
+    train_episodes: int = 4000,
+    val_episodes: int = 200,
+    test_episodes: int = 500,
+    image_size: int = 128,
+    seed: int = 0,
+) -> dict:
+    """Add SemanticAudioNav assets on top of an existing realistic world,
+    reusing its traced RIR bank (RIRs depend only on geometry, not on the
+    source sound): per-category sound clips, a .house object annotation,
+    semantic instance frames merged into the scene_observations cache, and
+    semantic episode datasets — all in the reference's layouts."""
+    import pickle
+
+    from soundspaces_tpu.builder import discover_goal_nodes
+    from soundspaces_tpu.scene.graph import SceneGraph
+    from soundspaces_tpu.scene.synthetic import raster_object_frames
+    from soundspaces_tpu.tools import reference_format as rf
+
+    t0 = time.time()
+    meta_dir = os.path.join(out, "metadata", scene)
+    graph = SceneGraph.from_metadata(meta_dir)
+    rir_dir = os.path.join(out, "binaural_rirs", scene)
+    goal_nodes = discover_goal_nodes(rir_dir, graph)
+    with open(os.path.join(out, "world.json")) as f:
+        world = json.load(f)
+    sampling_rate = world["sampling_rate"]
+
+    # each goal node hosts a sounding object of one category
+    rng = np.random.default_rng(seed + 5)
+    goal_categories = [
+        categories[int(rng.integers(0, len(categories)))]
+        if i >= len(categories) else categories[i]  # every category appears
+        for i in range(len(goal_nodes))
+    ]
+
+    sounds = build_semantic_sounds(list(categories), sampling_rate)
+    rf.write_sound_dir(
+        sounds, os.path.join(out, "sounds", "semantic"), sampling_rate
+    )
+    sound_secs = {
+        k: max(int(round(v.shape[0] / sampling_rate)), 1)
+        for k, v in sounds.items()
+    }
+    sounds_by_category = {
+        c: sorted(k for k in sounds if k.rsplit("_", 1)[0] == c)
+        for c in categories
+    }
+
+    house_path = os.path.join(meta_dir, f"{scene}.house")
+    obj_pos = graph.points[np.asarray(goal_nodes)]
+    rf.write_house_file(house_path, obj_pos, goal_categories)
+
+    # semantic instance rasters merged into the existing frame cache
+    sem = raster_object_frames(
+        graph, obj_pos, np.asarray(goal_nodes), image_size, image_size
+    )
+    cache_path = os.path.join(out, "scene_observations", f"{scene}.pkl")
+    with open(cache_path, "rb") as f:
+        cache = pickle.load(f)
+    for (node, angle), obs in cache.items():
+        obs["semantic"] = sem[node, (angle // 90) % 4]
+    with open(cache_path, "wb") as f:
+        pickle.dump(cache, f)
+
+    ep_dir = os.path.join(out, "datasets", "semantic_audionav", scene)
+    for split, count, s_off in (
+        ("train", train_episodes, 20),
+        ("val", val_episodes, 21),
+        ("test", test_episodes, 22),
+    ):
+        eps = rf.make_semantic_episode_records(
+            graph, goal_nodes, goal_categories, sounds_by_category,
+            sound_secs, count, scene, seed=seed + s_off,
+        )
+        rf.write_episode_dataset(
+            {scene: eps}, os.path.join(ep_dir, split), split
+        )
+
+    world["semantic"] = {
+        "categories": list(categories),
+        "goal_categories": goal_categories,
+        "sounds": sorted(sounds),
+        "house_file": house_path,
+        "episodes": {
+            "train": train_episodes, "val": val_episodes,
+            "test": test_episodes,
+        },
+        "build_secs": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(out, "world.json"), "w") as f:
+        json.dump(world, f, indent=1)
+    return world["semantic"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="data/realistic")
@@ -176,7 +304,20 @@ def main():
     ap.add_argument("--num-rays", type=int, default=500)
     ap.add_argument("--train-episodes", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--semantic", action="store_true",
+        help="augment an already-built world with SemanticAudioNav assets "
+        "(per-category sounds, .house annotation, semantic frames, "
+        "semantic episode datasets) — reuses the traced RIR bank",
+    )
     args = ap.parse_args()
+    if args.semantic:
+        summary = augment_semantic(
+            args.out, scene=args.scene, train_episodes=args.train_episodes,
+            seed=args.seed,
+        )
+        print(json.dumps(summary))
+        return
     summary = build_world(
         args.out, scene=args.scene, width=args.width, depth=args.depth,
         num_goals=args.num_goals, sampling_rate=args.sampling_rate,

@@ -210,6 +210,138 @@ def make_episode_records(
     return out
 
 
+def make_semantic_episode_records(
+    graph: SceneGraph,
+    goal_nodes: np.ndarray,
+    goal_categories: list[str],
+    sounds_by_category: dict[str, list[str]],
+    sound_secs: dict[str, int],
+    num_episodes: int,
+    scene_id: str,
+    seed: int = 0,
+    min_hops: int = 4,
+    max_hops: int = 60,
+    distractor_prob: float = 0.7,
+    max_duration: int = 200,
+) -> list[dict]:
+    """Sample SemanticAudioNav episode dicts in the reference's JSON schema
+    (semantic_audionav_task.py:29-97, semantic_audionav_dataset.py:143-217):
+    top-level object_category / sound_id / offset / duration /
+    distractor_sound_id / distractor_position_index, and goals carrying
+    object_id, object_category and view_points. view_points entries are
+    serialized agent-state positions (the released datasets store bare
+    [x, y, z] lists that __deserialize_goal wraps into ObjectViewLocation,
+    semantic_audionav_dataset.py:146-150).
+
+    The sound voicing an episode is drawn from the clips of the GOAL
+    OBJECT's category (many clips per category), so category != f(sound) —
+    the belief task is real inference. The distractor rings from another
+    goal node with a sound of THAT node's category."""
+    from soundspaces_tpu.env.structs import _oracle_num_actions
+
+    rng = np.random.default_rng(seed)
+    goal_nodes = np.asarray(goal_nodes)
+    out = []
+    guard = 0
+    while len(out) < num_episodes and guard < num_episodes * 200:
+        guard += 1
+        gi = int(rng.integers(0, len(goal_nodes)))
+        goal = int(goal_nodes[gi])
+        category = goal_categories[gi]
+        start = int(rng.integers(0, graph.num_nodes))
+        hops = int(graph.geodesic_hops[start, goal])
+        if hops < min_hops or hops > max_hops:
+            continue
+        rot = int(rng.integers(0, 4))
+        clips = sounds_by_category[category]
+        sound = clips[int(rng.integers(0, len(clips)))]
+        offset = int(rng.integers(0, max(sound_secs.get(sound, 1), 1)))
+        duration = int(rng.integers(10, max_duration + 1))
+        # view points: the goal plus its graph neighbors (navigable
+        # positions around the object, SemanticAudioGoal.view_points)
+        vp_nodes = [goal] + [
+            int(b) for b in graph.forward_neighbor[goal] if int(b) >= 0
+        ]
+        view_points = [
+            [float(v) for v in graph.points[n]] for n in sorted(set(vp_nodes))
+        ]
+        rec = {
+            "episode_id": str(len(out)),
+            "scene_id": f"{scene_id}/{scene_id}.glb",
+            "start_position": [float(v) for v in graph.points[start]],
+            "start_rotation": _rot_quaternion(rot),
+            "object_category": category,
+            "sound_id": sound,
+            "offset": offset,
+            "duration": duration,
+            "goals": [
+                {
+                    "position": [float(v) for v in graph.points[goal]],
+                    "radius": 1e-5,
+                    "object_id": str(gi),
+                    "object_category": category,
+                    "view_points": view_points,
+                }
+            ],
+            "info": {
+                "geodesic_distance": hops * graph.grid_size,
+                "num_action": _oracle_num_actions(graph, start, rot, goal),
+                "sound": sound,
+            },
+        }
+        if rng.random() < distractor_prob and len(goal_nodes) > 1:
+            while True:
+                di = int(rng.integers(0, len(goal_nodes)))
+                if di != gi:
+                    break
+            d_clips = sounds_by_category[goal_categories[di]]
+            rec["distractor_sound_id"] = d_clips[
+                int(rng.integers(0, len(d_clips)))
+            ]
+            rec["distractor_position_index"] = int(goal_nodes[di])
+        out.append(rec)
+    assert len(out) == num_episodes, (
+        f"only sampled {len(out)}/{num_episodes} semantic episodes in hop "
+        f"range [{min_hops}, {max_hops}]"
+    )
+    return out
+
+
+# ----------------------------------------------------------------- house file
+def write_house_file(
+    path: str,
+    object_positions: np.ndarray,  # [O, 3]
+    object_categories: list[str],  # [O] category names
+    bbox_radius: float = 0.5,
+) -> None:
+    """Minimal MP3D `.house` annotation: `C` category-table lines and `O`
+    object lines in the column layout scene/mp3d.HouseReader parses (the
+    reference reads these via mp3d_utils.py:100-192 for semantic scenes).
+    Category ids index the C table; object index i is the raster instance
+    id i+1 (0 = background)."""
+    from soundspaces_tpu.scene.mp3d import CATEGORY_TO_MPCAT40
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cats = sorted(set(object_categories))
+    cat_id = {c: i for i, c in enumerate(cats)}
+    with open(path, "w") as f:
+        f.write("ASCII 1.0\n")
+        for c in cats:
+            # C category_index category_mapping_index category_mapping_name
+            #   mpcat40_index mpcat40_name 0 0 0 0 0 (mp3d_utils.py:89)
+            mp = CATEGORY_TO_MPCAT40.get(c, 41)  # 41 = mp3d 'unlabeled'
+            f.write(f"C {cat_id[c]} {cat_id[c]} {c} {mp} {c} 0 0 0 0 0\n")
+        for i, (pos, c) in enumerate(zip(object_positions, object_categories)):
+            px, py, pz = (float(v) for v in pos)
+            r = bbox_radius
+            # O object_index region_index category_index px py pz a0x a0y a0z
+            #   a1x a1y a1z r0 r1 r2 0... (mp3d_utils.py:90)
+            f.write(
+                f"O {i} 0 {cat_id[c]} {px:.4f} {py:.4f} {pz:.4f} "
+                f"1 0 0 0 1 0 {r} {r} {r} 0 0 0 0 0 0 0 0\n"
+            )
+
+
 def write_episode_dataset(
     episodes_by_scene: dict[str, list[dict]], split_dir: str, split: str
 ) -> None:

@@ -50,16 +50,24 @@ def test_house_reader(tmp_path):
     assert len(CATEGORY_INDEX_MAPPING) == 21
     house = tmp_path / "x.house"
     house.write_text(
-        "H header\n"
-        "C 3 0 chair 0\n"
-        "O 0 1 3 1.0 0.5 2.0 0 0 0 0 0.5 0.5 0.5 0\n"
-        "O 1 1 5 4.0 0.5 2.0 0 0 0 0 0.5 0.5 0.5 0\n"
+        "ASCII 1.0\n"
+        # C category_index category_mapping_index name mpcat40_index
+        #   mpcat40_name 0 0 0 0 0 (mp3d_utils.py:89)
+        "C 3 3 chair 3 chair 0 0 0 0 0\n"
+        "C 5 5 sofa 10 sofa 0 0 0 0 0\n"
+        # O obj region cat px py pz a0 a0 a0 a1 a1 a1 r0 r1 r2 0...
+        "O 0 1 3 1.0 0.5 2.0 1 0 0 0 1 0 0.5 0.5 0.5 0 0 0 0 0 0 0 0\n"
+        "O 1 1 5 4.0 0.5 2.0 1 0 0 0 1 0 0.4 0.4 0.4 0 0 0 0 0 0 0 0\n"
     )
     r = HouseReader(str(house))
     assert r.categories[3] == "chair"
+    assert r.category_to_mpcat40 == {3: 3, 5: 10}
     assert r.compute_object_to_category_index_mapping() == {0: 3, 1: 5}
     assert r.nearest_object([1.1, 0.5, 2.0]).index == 0
     assert len(r.objects_in_category(5)) == 1
+    assert np.allclose(r.objects[1].bbox_radius, [0.4, 0.4, 0.4])
+    # raster instance id = object index + 1, 0 = void
+    assert r.instance_to_mpcat40_table().tolist() == [0, 3, 10]
 
 
 def test_interactive_demo_scripted(tmp_path, monkeypatch):
