@@ -313,10 +313,19 @@ def build_waypoint_env(
     from soundspaces_tpu.avwan.maps import MapperConfig
 
     scene = DeviceScene.from_assets(assets)
-    episodes = make_episode_bank(
-        assets, cfg.data.num_episodes, seed=cfg.data.seed + 1,
-        min_geodesic_hops=1,
-    )
+    split_path = cfg.data.episode_split_path
+    if sequential and cfg.data.eval_episode_split_path:
+        split_path = cfg.data.eval_episode_split_path
+    if not cfg.data.synthetic and split_path:
+        # reference-format episode dataset (same resolution path AV-Nav
+        # uses; the reference's av_wan trainer likewise consumes the
+        # standard AudioNav datasets, av_wan/ppo/ppo_trainer.py)
+        episodes = load_episode_bank(cfg, assets, split_path)
+    else:
+        episodes = make_episode_bank(
+            assets, cfg.data.num_episodes, seed=cfg.data.seed + 1,
+            min_geodesic_hops=1,
+        )
     env_cfg = cfg.env
     if sequential:
         env_cfg = dc.replace(env_cfg, episode_sampling="sequential")

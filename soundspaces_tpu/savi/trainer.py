@@ -44,6 +44,12 @@ class SAViConfig:
     # trains/logs) — measures how much the predicted beliefs actually help
     # (VERDICT round-1 item #7)
     ablate_beliefs: bool = False
+    # rematerialize the PPO evaluate_actions pass: without it the backward
+    # stores the SMT attention scores for every rollout step at once
+    # ([T*B, nhead, M+1, M+1] — 2.8 GB at T=150/B=16/M=150), which OOMs a
+    # 16 GB chip alongside a multi-GB RIR bank; remat recomputes them in
+    # the backward instead (same numbers, ~1.3x update FLOPs)
+    remat_evaluate: bool = True
 
 
 @struct.dataclass
@@ -421,13 +427,21 @@ class SAViTrainer:
             )
             return carry2, traj, init_pstate, last_value
 
+        def eval_apply(params, obs_b, init_pstate, prev_dones, actions):
+            return self.policy.apply(
+                params, obs_b, init_pstate, prev_dones, actions,
+                method=self.policy.evaluate_actions,
+            )
+
+        if savi.remat_evaluate:
+            eval_apply = jax.checkpoint(eval_apply)
+
         def loss_fn(params, bparams, traj, init_pstate, adv, returns, clip):
             obs_b = jax.vmap(
                 lambda o, l: self._with_beliefs(bparams, o, l)
             )(traj["obs"], traj["beliefs"])
-            logp, entropy, values = self.policy.apply(
-                params, obs_b, init_pstate, traj["prev_dones"], traj["actions"],
-                method=self.policy.evaluate_actions,
+            logp, entropy, values = eval_apply(
+                params, obs_b, init_pstate, traj["prev_dones"], traj["actions"]
             )
             ratio = jnp.exp(logp - traj["log_probs"])
             surr1 = ratio * adv
