@@ -471,11 +471,13 @@ class WaypointNavEnv:
             lambda f, c: jnp.where(done, f, c), fresh_mapper, state.mapper
         )
         state = state.replace(mapper=mapper)
-        state = jax.lax.cond(
-            done,
-            lambda s: self._update_maps(scene, tables, s),
-            lambda s: s,
-            state,
+        # NOT lax.cond: under the outer env vmap a batched-predicate cond
+        # broadcasts every closed-over operand — including the full RIR
+        # bank (-> num_envs x bank HBM, 63 GB at 16 envs on the realistic
+        # world). Compute unconditionally and select the small state.
+        updated = self._update_maps(scene, tables, state)
+        state = jax.tree.map(
+            lambda u, s: jnp.where(done, u, s), updated, state
         )
         obs = self._observe(scene, tables, state)
         return state, obs, reward, done, info
