@@ -366,3 +366,27 @@ def test_avwan_profile_mode(wp_world, tmp_path):
                   profile=True)
     assert logs and logs[-1]["env_time"] > 0 and logs[-1]["pth_time"] > 0
     assert np.isfinite(logs[-1]["reward"])
+
+
+def test_step_lowering_never_batches_scene_banks(wp_world):
+    """Regression: a lax.cond closing over the scene inside the vmapped
+    waypoint step broadcast the full RIR bank per env (num_envs x bank HBM
+    -> 63 GB compile-time OOM on the realistic world). The lowered step
+    must never contain a scene-bank tensor with a leading env axis."""
+    import re
+
+    _, env = wp_world
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    wp = jnp.zeros((env.num_envs,), jnp.int32)
+    lowered = jax.jit(env.step_pure).lower(
+        env.base.scene, env.base.episodes, env.tables(), state, wp
+    )
+    txt = lowered.as_text()
+    rir_shape = env.base.scene.rir.shape  # e.g. (4, N, G, 2, L)
+    batched = "x".join(str(d) for d in (env.num_envs, *rir_shape))
+    assert f"tensor<{batched}x" not in txt, (
+        "scene RIR bank acquired a leading env axis in the lowered step"
+    )
+    seg_shape = env.base.scene.seg_block_fft.shape
+    batched_seg = "x".join(str(d) for d in (env.num_envs, *seg_shape))
+    assert f"tensor<{batched_seg}x" not in txt
