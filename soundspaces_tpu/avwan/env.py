@@ -32,7 +32,6 @@ from soundspaces_tpu.avwan.maps import (
     MapperConfig,
     MapperState,
     egocentric_crops,
-    register_egomap,
     register_intensity,
 )
 from soundspaces_tpu.env.audionav import AudioNavEnv
@@ -58,6 +57,11 @@ class WaypointConfig:
     plan_from_map: bool = True
     plan_window: int = 17  # planning window, 0.5 m cells (odd)
     egomap_depth_hw: int = 64  # depth-render resolution for the projection
+    # Discrete poses are (node, rot) — the depth render + projection is an
+    # exact function of them, so precompute the egomap once per pose into a
+    # [N, 4, E, E, 2] bank and gather per step (5x fewer FLOPs in the inner
+    # low-level loop). False keeps the live render (parity tests).
+    precompute_egomaps: bool = True
 
     @property
     def num_waypoints(self) -> int:
@@ -73,6 +77,8 @@ class WaypointTables:
     origin: jax.Array  # [2] world (x, z) of cell (0, 0)
     node_cell_x: jax.Array  # [N] 0.5 m cell coords per node
     node_cell_z: jax.Array
+    # optional [N, 4, E, E, 2] precomputed agent-frame egomap per pose
+    egomap_bank: jax.Array | None = None
 
 
 def build_waypoint_tables(
@@ -108,6 +114,47 @@ def build_waypoint_tables(
     )
 
 
+def precompute_egomap_bank(
+    tables: WaypointTables, wp_cfg: WaypointConfig, chunk: int = 64
+) -> WaypointTables:
+    """Render the depth->pointcloud egomap once per discrete pose
+    (node x 4 rotations) into a [N, 4, E, E, 2] bank. Exact: the per-step
+    sensor becomes a gather of the same values the live render produces
+    (test_egomap.py checks the equivalence)."""
+    from soundspaces_tpu.ops.egomap import egomap_at_pose
+
+    m = wp_cfg.mapper
+    res = m.map_resolution
+    scale = int(round(0.5 / res))
+    n = int(tables.node_cell_x.shape[0])
+
+    def render(node, rot):
+        gz = tables.node_cell_z[node] * scale + scale // 2
+        gx = tables.node_cell_x[node] * scale + scale // 2
+        return egomap_at_pose(
+            tables.occupancy,
+            gx.astype(jnp.float32) * res, gz.astype(jnp.float32) * res,
+            jnp.deg2rad(270.0 - 90.0 * rot.astype(jnp.float32)),
+            map_size=m.egomap_size, resolution=res,
+            depth_hw=wp_cfg.egomap_depth_hw,
+        )
+
+    def chunk_fn(nodes):
+        rots = jnp.arange(4, dtype=jnp.int32)
+        return jax.vmap(lambda nd: jax.vmap(lambda r: render(nd, r))(rots))(
+            nodes
+        )
+
+    pad = (-n) % chunk
+    nodes = jnp.arange(n + pad, dtype=jnp.int32) % n
+    bank = jax.jit(lambda ns: jax.lax.map(chunk_fn, ns.reshape(-1, chunk)))(
+        nodes
+    )
+    e = m.egomap_size
+    bank = bank.reshape(-1, 4, e, e, 2)[:n]
+    return tables.replace(egomap_bank=bank)
+
+
 @struct.dataclass
 class WaypointState:
     base: EnvState
@@ -138,6 +185,12 @@ class WaypointNavEnv:
         self.cfg = env_cfg
         self.wp = wp_cfg
         self.num_envs = num_envs
+        if (
+            wp_cfg.plan_from_map
+            and wp_cfg.precompute_egomaps
+            and tables.egomap_bank is None
+        ):
+            tables = precompute_egomap_bank(tables, wp_cfg)
         self._tables = tables
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
@@ -191,7 +244,14 @@ class WaypointNavEnv:
             tables.node_cell_z[base.node] - tables.node_cell_z[base.start_node],
         )
 
-    def _update_maps(self, scene, tables, state: WaypointState) -> WaypointState:
+    def _update_maps(
+        self, scene, tables, state: WaypointState, active=None
+    ) -> WaypointState:
+        """Register the pose's egomap, the agent footprint, and collision
+        evidence into the allocentric map with ONE windowed read-modify-write
+        (separate full-map updates each cost an HBM pass over the [M, M, 2]
+        map per inner low-level step). `active=False` keeps the state
+        unchanged — the select happens on the small window, never the map."""
         m = self.wp.mapper
         base = state.base
         e = m.egomap_size
@@ -199,37 +259,28 @@ class WaypointNavEnv:
         gz = tables.node_cell_z[base.node] * scale + scale // 2
         gx = tables.node_cell_x[base.node] * scale + scale // 2
         cell_x, cell_z = self._agent_cells(scene, tables, base)
+        if active is None:
+            active = jnp.bool_(True)
         if self.wp.plan_from_map:
             # the reference's actual sensor path: render depth at the pose
-            # and project it through the camera intrinsics (nav.py:235-405)
-            from soundspaces_tpu.ops.egomap import egomap_at_pose
+            # and project it through the camera intrinsics (nav.py:235-405);
+            # on discrete poses the render is precomputed per (node, rot)
+            if tables.egomap_bank is not None:
+                ego = tables.egomap_bank[base.node, base.rot_idx % 4]
+            else:
+                from soundspaces_tpu.ops.egomap import egomap_at_pose
 
-            res = m.map_resolution
-            ego = egomap_at_pose(
-                tables.occupancy,
-                gx.astype(jnp.float32) * res, gz.astype(jnp.float32) * res,
-                jnp.deg2rad(270.0 - 90.0 * base.rot_idx.astype(jnp.float32)),
-                map_size=e, resolution=res,
-                depth_hw=self.wp.egomap_depth_hw,
-            )
-            mapper = register_egomap(
-                m, state.mapper, ego, cell_x * scale, cell_z * scale,
-                base.rot_idx,
-            )
-            # the agent's own footprint is known free space (it stands
-            # there) — the reference planner always includes the agent
-            # position in its graph (planner.py:170-209)
-            mapper = _mark_visited(m, mapper, cell_x * scale, cell_z * scale)
-            # collision evidence: the cell ahead is an obstacle — the
-            # reference's collision-driven graph edit (planner.py:151-162)
-            mapper = jax.lax.cond(
-                base.collided,
-                lambda mp: _mark_blocked_ahead(
-                    m, mp, cell_x * scale, cell_z * scale, base.rot_idx, scale
-                ),
-                lambda mp: mp,
-                mapper,
-            )
+                res = m.map_resolution
+                ego = egomap_at_pose(
+                    tables.occupancy,
+                    gx.astype(jnp.float32) * res, gz.astype(jnp.float32) * res,
+                    jnp.deg2rad(
+                        270.0 - 90.0 * base.rot_idx.astype(jnp.float32)
+                    ),
+                    map_size=e, resolution=res,
+                    depth_hw=self.wp.egomap_depth_hw,
+                )
+            rot = base.rot_idx
         else:
             # test oracle: crop of the true occupancy grid around the agent
             occ = jax.lax.dynamic_slice(
@@ -242,14 +293,56 @@ class WaypointNavEnv:
             )
             ego = jnp.stack([1.0 - occ, jnp.ones_like(occ)], axis=-1)
             # world->ego rotation is undone at registration; pass allocentric
-            mapper = register_egomap(
-                m, state.mapper, ego, cell_x * scale, cell_z * scale,
-                jnp.int32(0),
+            rot = jnp.int32(0)
+        # --- one windowed update of the geometric map
+        patch = jax.lax.switch(
+            rot % 4,
+            [
+                lambda p: p,
+                lambda p: jnp.rot90(p, k=1),
+                lambda p: jnp.rot90(p, k=2),
+                lambda p: jnp.rot90(p, k=3),
+            ],
+            ego,
+        )
+        mm = m.internal_map_size
+        gxc, gzc = cell_x * scale, cell_z * scale  # agent, 0.1 m map cells
+        row = jnp.clip(mm // 2 + gzc - e // 2, 0, mm - e).astype(jnp.int32)
+        col = jnp.clip(mm // 2 + gxc - e // 2, 0, mm - e).astype(jnp.int32)
+        cur = jax.lax.dynamic_slice(
+            state.mapper.geometric, (row, col, 0), (e, e, 2)
+        )
+        new = jnp.maximum(cur, patch)  # register semantics (mapper.py update)
+        if self.wp.plan_from_map:
+            # agent footprint = known free space (the reference planner keeps
+            # the agent position in its graph, planner.py:170-209); the agent
+            # cell always lies inside its own ego window
+            vr = jnp.clip(mm // 2 + gzc - 1 - row, 0, e - 3)
+            vc = jnp.clip(mm // 2 + gxc - 1 - col, 0, e - 3)
+            vis = jax.lax.dynamic_slice(new, (vr, vc, 0), (3, 3, 2))
+            vis = vis.at[..., 1].set(1.0).at[..., 0].set(0.0)
+            new = jax.lax.dynamic_update_slice(new, vis, (vr, vc, 0))
+        new = jnp.where(active, new, cur)
+        geometric = jax.lax.dynamic_update_slice(
+            state.mapper.geometric, new, (row, col, 0)
+        )
+        mapper = state.mapper.replace(geometric=geometric)
+        if self.wp.plan_from_map:
+            # collision evidence: the planning cell ahead is an obstacle —
+            # the reference's collision-driven graph edit (planner.py:151-162).
+            # Written full-map (it can fall outside the ego window at the map
+            # border); the select is on the 3x3 patch, not the map.
+            mapper = _mark_blocked_ahead(
+                m, mapper, gxc, gzc, base.rot_idx, scale,
+                enabled=active & base.collided,
             )
         # acoustic map intensity (avwan_sensors.py:91-100)
         audio = self.base._audiogoal(scene, base)
         intensity = _intensity(audio)
-        mapper = register_intensity(m, mapper, intensity, cell_x, cell_z)
+        mapper = register_intensity(
+            m, mapper, jnp.where(active, intensity, 0.0), cell_x, cell_z,
+            count=jnp.where(active, 1.0, 0.0),
+        )
         return state.replace(mapper=mapper)
 
     def _action_cell_offsets(self, base: EnvState):
@@ -427,9 +520,11 @@ class WaypointNavEnv:
             base2 = jax.tree.map(
                 lambda new, old: jnp.where(active, new, old), base2, st.base
             )
-            st2 = self._update_maps(scene, tables, st.replace(base=base2))
-            st2 = jax.tree.map(
-                lambda new, old: jnp.where(active, new, old), st2, st
+            # active-masking happens inside _update_maps on the ego window —
+            # a whole-tree where here would add two full-map HBM passes per
+            # inner step
+            st2 = self._update_maps(
+                scene, tables, st.replace(base=base2), active=active
             )
             total_r = total_r + jnp.where(active, r, 0.0)
             newly_done = active & d
@@ -474,11 +569,8 @@ class WaypointNavEnv:
         # NOT lax.cond: under the outer env vmap a batched-predicate cond
         # broadcasts every closed-over operand — including the full RIR
         # bank (-> num_envs x bank HBM, 63 GB at 16 envs on the realistic
-        # world). Compute unconditionally and select the small state.
-        updated = self._update_maps(scene, tables, state)
-        state = jax.tree.map(
-            lambda u, s: jnp.where(done, u, s), updated, state
-        )
+        # world). Compute unconditionally; active=done selects on the window.
+        state = self._update_maps(scene, tables, state, active=done)
         obs = self._observe(scene, tables, state)
         return state, obs, reward, done, info
 
@@ -507,29 +599,14 @@ class WaypointNavEnv:
         }
 
 
-def _mark_visited(cfg, mapper: MapperState, gx_cells, gz_cells) -> MapperState:
-    """Write the agent's own 3x3 footprint (0.1 m cells) as explored free
-    space — traversed ground is known navigable (the reference planner keeps
-    the agent position in its graph, planner.py:170-209)."""
-    m = cfg.internal_map_size
-    row = jnp.clip(m // 2 + gz_cells - 1, 0, m - 3).astype(jnp.int32)
-    col = jnp.clip(m // 2 + gx_cells - 1, 0, m - 3).astype(jnp.int32)
-    patch = jax.lax.dynamic_slice(mapper.geometric, (row, col, 0), (3, 3, 2))
-    patch = patch.at[..., 1].set(1.0)  # explored
-    patch = patch.at[..., 0].set(0.0)  # and free of obstacle evidence
-    return mapper.replace(
-        geometric=jax.lax.dynamic_update_slice(
-            mapper.geometric, patch, (row, col, 0)
-        )
-    )
-
-
 def _mark_blocked_ahead(
-    cfg, mapper: MapperState, gx_cells, gz_cells, rot_idx, scale
+    cfg, mapper: MapperState, gx_cells, gz_cells, rot_idx, scale, enabled=True
 ) -> MapperState:
     """Collision evidence: stamp the planning cell directly ahead as an
     explored obstacle (the reference removes that graph node on collision,
-    planner.py:151-162; it returns on map reset, 44-53)."""
+    planner.py:151-162; it returns on map reset, 44-53). `enabled` selects
+    on the 3x3 patch — a lax.cond would become a full-map select under
+    vmap."""
     th = jnp.deg2rad(270.0 - 90.0 * rot_idx.astype(jnp.float32))
     dx = jnp.round(jnp.cos(th)).astype(jnp.int32) * scale
     dz = jnp.round(jnp.sin(th)).astype(jnp.int32) * scale
@@ -537,8 +614,8 @@ def _mark_blocked_ahead(
     row = jnp.clip(m // 2 + gz_cells + dz - 1, 0, m - 3).astype(jnp.int32)
     col = jnp.clip(m // 2 + gx_cells + dx - 1, 0, m - 3).astype(jnp.int32)
     patch = jax.lax.dynamic_slice(mapper.geometric, (row, col, 0), (3, 3, 2))
-    patch = patch.at[..., 1].set(1.0)
-    patch = patch.at[..., 0].set(1.0)
+    stamped = patch.at[..., 1].set(1.0).at[..., 0].set(1.0)
+    patch = jnp.where(enabled, stamped, patch)
     return mapper.replace(
         geometric=jax.lax.dynamic_update_slice(
             mapper.geometric, patch, (row, col, 0)

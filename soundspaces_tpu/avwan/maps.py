@@ -101,16 +101,18 @@ def register_intensity(
     intensity: jax.Array,  # scalar
     cell_x: jax.Array,
     cell_z: jax.Array,
+    count: jax.Array | float = 1.0,
 ) -> MapperState:
     """Average-intensity acoustic map (ENCODING 'average_intensity',
-    av_wan/config/default.py:178)."""
+    av_wan/config/default.py:178). `count=0` skips the sample (inactive
+    envs in the masked inner loop) without a full-map select."""
     a = cfg.acoustic_map_size
     scale = cfg.cells_per_acoustic_cell
     ax = jnp.clip(a // 2 + cell_x // scale, 0, a - 1).astype(jnp.int32)
     az = jnp.clip(a // 2 + cell_z // scale, 0, a - 1).astype(jnp.int32)
     return state.replace(
         acoustic_sum=state.acoustic_sum.at[az, ax].add(intensity),
-        acoustic_count=state.acoustic_count.at[az, ax].add(1.0),
+        acoustic_count=state.acoustic_count.at[az, ax].add(count),
     )
 
 
