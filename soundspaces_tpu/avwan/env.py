@@ -62,6 +62,13 @@ class WaypointConfig:
     # [N, 4, E, E, 2] bank and gather per step (5x fewer FLOPs in the inner
     # low-level loop). False keeps the live render (parity tests).
     precompute_egomaps: bool = True
+    # The acoustic-map intensity (avwan_sensors.py:91-100) is an exact
+    # function of (azimuth, node, goal, sound, second) — precompute it into
+    # a [4, N, G, S, SEC] table at setup (the reference's own observation
+    # cache keyed (source, receiver, angle), simulator.py:678-688) so the
+    # inner low-level loop does no audio convolution at all. Auto-disabled
+    # when distractor sounds mix into the audio.
+    precompute_intensity: bool = True
 
     @property
     def num_waypoints(self) -> int:
@@ -79,6 +86,8 @@ class WaypointTables:
     node_cell_z: jax.Array
     # optional [N, 4, E, E, 2] precomputed agent-frame egomap per pose
     egomap_bank: jax.Array | None = None
+    # optional [4, N, G, S, SEC] acoustic-map intensity per pose/source
+    intensity_bank: jax.Array | None = None
 
 
 def build_waypoint_tables(
@@ -155,6 +164,46 @@ def precompute_egomap_bank(
     return tables.replace(egomap_bank=bank)
 
 
+def precompute_intensity_bank(
+    base_env, scene, tables: WaypointTables, max_convs_per_chunk: int = 1024
+) -> WaypointTables:
+    """Exact [4, N, G, S, SEC] table of `_intensity(audiogoal)` per
+    (azimuth, receiver node, goal slot, sound, source second) — the same
+    values the live convolution path produces (test-checked). The reference
+    itself caches audio observations per (source, receiver, angle)
+    (simulator.py:678-688); the intensity scalar adds only the small
+    (sound, second) axes, so the whole table is a few MB even at MP3D
+    scale. Only valid without distractor mixing (the caller gates on
+    `has_distractor_sound`)."""
+    n = int(scene.rir.shape[1])
+    g = int(scene.rir.shape[2])
+    s = int(scene.seg_block_fft.shape[0])
+    sec = int(scene.seg_block_fft.shape[1])
+
+    def one(az, node, goal, sound, si):
+        audio = base_env._goal_audio(scene, az, node, goal, sound, si)
+        return _intensity(audio)
+
+    def chunk_fn(nodes):
+        azs = jnp.arange(4, dtype=jnp.int32)
+        gs = jnp.arange(g, dtype=jnp.int32)
+        ss = jnp.arange(s, dtype=jnp.int32)
+        secs = jnp.arange(sec, dtype=jnp.int32)
+        return jax.vmap(lambda az: jax.vmap(lambda nd: jax.vmap(
+            lambda gl: jax.vmap(lambda sd: jax.vmap(
+                lambda si: one(az, nd, gl, sd, si)
+            )(secs))(ss))(gs))(nodes))(azs)
+
+    chunk = max(1, max_convs_per_chunk // (4 * g * s * sec))
+    pad = (-n) % chunk
+    nodes = jnp.arange(n + pad, dtype=jnp.int32) % n
+    bank = jax.jit(lambda ns: jax.lax.map(chunk_fn, ns.reshape(-1, chunk)))(
+        nodes
+    )  # [n_chunks, 4, chunk, G, S, SEC]
+    bank = jnp.moveaxis(bank, 1, 0).reshape(4, -1, g, s, sec)[:, :n]
+    return tables.replace(intensity_bank=bank)
+
+
 @struct.dataclass
 class WaypointState:
     base: EnvState
@@ -191,6 +240,12 @@ class WaypointNavEnv:
             and tables.egomap_bank is None
         ):
             tables = precompute_egomap_bank(tables, wp_cfg)
+        if (
+            wp_cfg.precompute_intensity
+            and not env_cfg.has_distractor_sound
+            and tables.intensity_bank is None
+        ):
+            tables = precompute_intensity_bank(self.base, scene, tables)
         self._tables = tables
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
@@ -337,8 +392,16 @@ class WaypointNavEnv:
                 enabled=active & base.collided,
             )
         # acoustic map intensity (avwan_sensors.py:91-100)
-        audio = self.base._audiogoal(scene, base)
-        intensity = _intensity(audio)
+        if tables.intensity_bank is not None:
+            az = (4 - base.rot_idx) % 4
+            val = tables.intensity_bank[
+                az, base.node, base.goal_slot, base.sound_id, base.audio_index
+            ]
+            # silence once past the sound's duration (simulator.py:610-612)
+            audible = base.step_count <= base.duration_sec
+            intensity = jnp.where(audible, val, 0.0)
+        else:
+            intensity = _intensity(self.base._audiogoal(scene, base))
         mapper = register_intensity(
             m, mapper, jnp.where(active, intensity, 0.0), cell_x, cell_z,
             count=jnp.where(active, 1.0, 0.0),

@@ -433,25 +433,36 @@ class AudioNavEnv:
         )
         return jnp.stack([1.0 - crop, jnp.ones_like(crop)], axis=-1)
 
+    def _goal_audio(
+        self, scene, az_idx, node, goal_slot, sound_id, audio_index
+    ) -> jax.Array:
+        """One pose/source convolution [2, sr] — the shared core of
+        `_audiogoal`, also used to precompute pose-indexed banks (the
+        reference's own per-(source, receiver, angle) observation cache,
+        simulator.py:678-688)."""
+        # partitioned overlap-save: small batched FFTs + MXU einsum (see
+        # ops/partitioned.py; also the only FFT size the axon backend handles)
+        seg_blocks = scene.seg_block_fft[sound_id, audio_index]
+        if scene.rir_part_fft is not None:
+            h = scene.rir_part_fft[az_idx, node, goal_slot]
+            return partitioned_windowed_convolve_fft(
+                seg_blocks, h, scene.sampling_rate, scene.conv_block
+            )
+        rir = scene.rir[az_idx, node, goal_slot]  # [2, L]
+        if rir.dtype != jnp.float32:
+            rir = rir.astype(jnp.float32)  # bank may be stored bfloat16
+        return partitioned_windowed_convolve(
+            seg_blocks, rir, scene.sampling_rate, scene.conv_block
+        )
+
     def _audiogoal(self, scene, state: EnvState) -> jax.Array:
         """Binaural waveform [2, sr]: gather the pose's RIR, convolve with the
         precomputed source-segment spectrum (simulator.py:608-647)."""
         az_idx = (4 - state.rot_idx) % 4  # azimuth = -rotation (simulator.py:573)
-        # partitioned overlap-save: small batched FFTs + MXU einsum (see
-        # ops/partitioned.py; also the only FFT size the axon backend handles)
-        seg_blocks = scene.seg_block_fft[state.sound_id, state.audio_index]
-        if scene.rir_part_fft is not None:
-            h = scene.rir_part_fft[az_idx, state.node, state.goal_slot]
-            audio = partitioned_windowed_convolve_fft(
-                seg_blocks, h, scene.sampling_rate, scene.conv_block
-            )
-        else:
-            rir = scene.rir[az_idx, state.node, state.goal_slot]  # [2, L]
-            if rir.dtype != jnp.float32:
-                rir = rir.astype(jnp.float32)  # bank may be stored bfloat16
-            audio = partitioned_windowed_convolve(
-                seg_blocks, rir, scene.sampling_rate, scene.conv_block
-            )
+        audio = self._goal_audio(
+            scene, az_idx, state.node, state.goal_slot, state.sound_id,
+            state.audio_index,
+        )
         if self.config.has_distractor_sound:
             # mix the distractor source convolved with its own pose RIR
             # (simulator.py:649-664)

@@ -390,3 +390,41 @@ def test_step_lowering_never_batches_scene_banks(wp_world):
     seg_shape = env.base.scene.seg_block_fft.shape
     batched_seg = "x".join(str(d) for d in (env.num_envs, *seg_shape))
     assert f"tensor<{batched_seg}x" not in txt
+
+
+def test_intensity_bank_matches_live_convolution(wp_world):
+    """The precomputed [4, N, G, S, SEC] intensity table must reproduce the
+    live `_intensity(audiogoal)` path exactly over whole trajectories
+    (the reference's own per-(source, receiver, angle) observation cache,
+    simulator.py:678-688)."""
+    assets, live_env = wp_world  # fixture tables carry no banks -> live path
+    assert live_env.tables().intensity_bank is None
+    bank_env = WaypointNavEnv(
+        EnvConfig(max_episode_steps=60), live_env.wp, live_env.base.scene,
+        live_env.base.episodes,
+        build_waypoint_tables(assets.graph, SMALL_MAPPER), num_envs=2,
+    )
+    assert bank_env.tables().intensity_bank is not None
+    assert bank_env.tables().intensity_bank.shape[:2] == (
+        4, assets.graph.num_nodes,
+    )
+
+    sa, _ = live_env.reset(jax.random.PRNGKey(7))
+    sb, _ = bank_env.reset(jax.random.PRNGKey(7))
+    np.testing.assert_allclose(
+        np.asarray(sa.mapper.acoustic_sum), np.asarray(sb.mapper.acoustic_sum),
+        rtol=1e-6, atol=1e-7,
+    )
+    for t in range(5):
+        wp = jax.random.randint(
+            jax.random.PRNGKey(50 + t), (2,), 0, live_env.wp.num_waypoints
+        )
+        sa, *_ = live_env.step(sa, wp)
+        sb, *_ = bank_env.step(sb, wp)
+    np.testing.assert_allclose(
+        np.asarray(sa.mapper.acoustic_sum), np.asarray(sb.mapper.acoustic_sum),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sa.mapper.acoustic_count), np.asarray(sb.mapper.acoustic_count)
+    )
