@@ -137,35 +137,39 @@ def precompute_egomap_bank(
     scale = int(round(0.5 / res))
     n = int(tables.node_cell_x.shape[0])
 
-    def render(node, rot):
-        gz = tables.node_cell_z[node] * scale + scale // 2
-        gx = tables.node_cell_x[node] * scale + scale // 2
+    def render(tb, node, rot):
+        gz = tb.node_cell_z[node] * scale + scale // 2
+        gx = tb.node_cell_x[node] * scale + scale // 2
         return egomap_at_pose(
-            tables.occupancy,
+            tb.occupancy,
             gx.astype(jnp.float32) * res, gz.astype(jnp.float32) * res,
             jnp.deg2rad(270.0 - 90.0 * rot.astype(jnp.float32)),
             map_size=m.egomap_size, resolution=res,
             depth_hw=wp_cfg.egomap_depth_hw,
         )
 
-    def chunk_fn(nodes):
+    def chunk_fn(tb, nodes):
         rots = jnp.arange(4, dtype=jnp.int32)
-        return jax.vmap(lambda nd: jax.vmap(lambda r: render(nd, r))(rots))(
-            nodes
-        )
+        return jax.vmap(
+            lambda nd: jax.vmap(lambda r: render(tb, nd, r))(rots)
+        )(nodes)
 
     pad = (-n) % chunk
     nodes = jnp.arange(n + pad, dtype=jnp.int32) % n
-    bank = jax.jit(lambda ns: jax.lax.map(chunk_fn, ns.reshape(-1, chunk)))(
-        nodes
-    )
+    # tables passed as a jit ARG: a closure-captured device array becomes an
+    # IR constant, whose materialization D2H-fetches it (tunnel-fatal)
+    bank = jax.jit(
+        lambda tb, ns: jax.lax.map(
+            lambda c: chunk_fn(tb, c), ns.reshape(-1, chunk)
+        )
+    )(tables, nodes)
     e = m.egomap_size
     bank = bank.reshape(-1, 4, e, e, 2)[:n]
     return tables.replace(egomap_bank=bank)
 
 
 def precompute_intensity_bank(
-    base_env, scene, tables: WaypointTables, max_convs_per_chunk: int = 1024
+    base_env, scene, tables: WaypointTables, max_convs_per_chunk: int = 256
 ) -> WaypointTables:
     """Exact [4, N, G, S, SEC] table of `_intensity(audiogoal)` per
     (azimuth, receiver node, goal slot, sound, source second) — the same
@@ -180,27 +184,31 @@ def precompute_intensity_bank(
     s = int(scene.seg_block_fft.shape[0])
     sec = int(scene.seg_block_fft.shape[1])
 
-    def one(az, node, goal, sound, si):
-        audio = base_env._goal_audio(scene, az, node, goal, sound, si)
+    def one(sc, flat):
+        # decode the flat combo index — a SINGLE flat vmap keeps the batch
+        # as one leading axis (a nested az x node x goal x sound x sec vmap
+        # lowers to rank-8 temps whose tiny minor dims pad 85x -> 21 GB)
+        si = flat % sec
+        sd = (flat // sec) % s
+        gl = (flat // (sec * s)) % g
+        nd = (flat // (sec * s * g)) % n
+        az = flat // (sec * s * g * n)
+        audio = base_env._goal_audio(sc, az, nd, gl, sd, si)
         return _intensity(audio)
 
-    def chunk_fn(nodes):
-        azs = jnp.arange(4, dtype=jnp.int32)
-        gs = jnp.arange(g, dtype=jnp.int32)
-        ss = jnp.arange(s, dtype=jnp.int32)
-        secs = jnp.arange(sec, dtype=jnp.int32)
-        return jax.vmap(lambda az: jax.vmap(lambda nd: jax.vmap(
-            lambda gl: jax.vmap(lambda sd: jax.vmap(
-                lambda si: one(az, nd, gl, sd, si)
-            )(secs))(ss))(gs))(nodes))(azs)
-
-    chunk = max(1, max_convs_per_chunk // (4 * g * s * sec))
-    pad = (-n) % chunk
-    nodes = jnp.arange(n + pad, dtype=jnp.int32) % n
-    bank = jax.jit(lambda ns: jax.lax.map(chunk_fn, ns.reshape(-1, chunk)))(
-        nodes
-    )  # [n_chunks, 4, chunk, G, S, SEC]
-    bank = jnp.moveaxis(bank, 1, 0).reshape(4, -1, g, s, sec)[:, :n]
+    total = 4 * n * g * s * sec
+    chunk = min(total, max(1, max_convs_per_chunk))
+    pad = (-total) % chunk
+    flat = jnp.arange(total + pad, dtype=jnp.int32) % total
+    # scene passed as a jit ARG: a closure-captured RIR bank becomes an IR
+    # constant, whose materialization D2H-fetches GBs (tunnel-fatal)
+    bank = jax.jit(
+        lambda sc, ix: jax.lax.map(
+            lambda c: jax.vmap(lambda f: one(sc, f))(c),
+            ix.reshape(-1, chunk),
+        )
+    )(scene, flat)
+    bank = bank.reshape(-1)[:total].reshape(4, n, g, s, sec)
     return tables.replace(intensity_bank=bank)
 
 

@@ -145,6 +145,7 @@ def build_env(
     episodes: EpisodeBank | None = None,
     num_envs: int | None = None,
     sequential: bool = False,
+    scene: DeviceScene | None = None,
 ) -> AudioNavEnv:
     if assets is None and cfg.data.num_scenes > 1:
         assert cfg.data.synthetic, (
@@ -224,7 +225,10 @@ def build_env(
             base_cls=base_cls,
         )
     assets = assets or build_assets(cfg)
-    scene = DeviceScene.from_assets(assets)
+    if scene is None:
+        # sharing an existing env's DeviceScene skips a second host->device
+        # bank upload (~GBs over the tunnel at realistic scale)
+        scene = DeviceScene.from_assets(assets)
     if episodes is None:
         split_path = cfg.data.episode_split_path
         if sequential and cfg.data.eval_episode_split_path:
@@ -303,16 +307,21 @@ def build_env(
 
 def build_waypoint_env(
     cfg: ExperimentConfig, assets: SceneAssets, num_envs: int | None = None,
-    sequential: bool = False,
+    sequential: bool = False, scene=None, tables=None,
 ):
-    """AV-WaN hierarchical waypoint env over the same assets."""
+    """AV-WaN hierarchical waypoint env over the same assets. Pass
+    `scene`/`tables` from an existing env to share the device-resident
+    banks (the RIR bank upload and the per-pose egomap/intensity bank
+    precompute are expensive at realistic scale — never pay them twice
+    for a train/eval pair over the same assets)."""
     import dataclasses as dc
 
     from soundspaces_tpu.avwan.env import WaypointNavEnv, build_waypoint_tables
     from soundspaces_tpu.avwan.env import WaypointConfig
     from soundspaces_tpu.avwan.maps import MapperConfig
 
-    scene = DeviceScene.from_assets(assets)
+    if scene is None:
+        scene = DeviceScene.from_assets(assets)
     split_path = cfg.data.episode_split_path
     if sequential and cfg.data.eval_episode_split_path:
         split_path = cfg.data.eval_episode_split_path
@@ -339,7 +348,8 @@ def build_waypoint_env(
         plan_from_map=cfg.avwan.plan_from_map,
         egomap_depth_hw=cfg.avwan.egomap_depth_hw,
     )
-    tables = build_waypoint_tables(assets.graph, mapper)
+    if tables is None:
+        tables = build_waypoint_tables(assets.graph, mapper)
     return WaypointNavEnv(
         env_cfg, wp_cfg, scene, episodes, tables,
         num_envs or cfg.trainer.num_envs,
@@ -352,7 +362,10 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
         from soundspaces_tpu.avwan.trainer import AVWanTrainer
 
         env = build_waypoint_env(cfg, assets)
-        eval_env = build_waypoint_env(cfg, assets, sequential=True)
+        eval_env = build_waypoint_env(
+            cfg, assets, sequential=True, scene=env.base.scene,
+            tables=env.tables(),
+        )
         trainer = AVWanTrainer(
             cfg.trainer, cfg.ppo, env, eval_env=eval_env,
             use_gm=cfg.avwan.use_gm, use_am=cfg.avwan.use_am,
@@ -396,7 +409,8 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
         env = build_env(cfg, assets)
         trainer_cls = registry.get_trainer(cfg.trainer_name)
         eval_env = build_env(
-            cfg, assets, num_envs=cfg.trainer.num_envs, sequential=True
+            cfg, assets, num_envs=cfg.trainer.num_envs, sequential=True,
+            scene=getattr(env, "scene", None),
         )
         trainer = trainer_cls(
             cfg.trainer, cfg.ppo, env, eval_env=eval_env, mesh=mesh
