@@ -65,6 +65,50 @@ def build_assets(cfg: ExperimentConfig) -> SceneAssets:
     )
 
 
+def discover_scenes(cfg: ExperimentConfig) -> list[str]:
+    """Scene set for a reference-layout data root: the explicit
+    `data.scenes` list, else the scenes whose `content/{scene}.json.gz`
+    files sit next to the episode split — the reference derives its scene
+    set from the dataset the same way before round-robining it across
+    workers (env_utils.py:36-44, audionav_dataset.py:60-76)."""
+    if cfg.data.scenes:
+        return list(cfg.data.scenes)
+    content_dir = os.path.join(
+        os.path.dirname(cfg.data.episode_split_path), "content"
+    )
+    assert os.path.isdir(content_dir), (
+        f"data.scene_root set but no data.scenes and no content dir at "
+        f"{content_dir} to discover them from"
+    )
+    return sorted(
+        f[: -len(".json.gz")]
+        for f in os.listdir(content_dir)
+        if f.endswith(".json.gz")
+    )
+
+
+def build_scene_assets(cfg: ExperimentConfig, scene: str) -> SceneAssets:
+    """One scene's assets out of a reference-layout data root
+    ({root}/metadata/{scene}, {root}/binaural_rirs/{scene},
+    {root}/scene_observations/{scene}.pkl, optional
+    {root}/metadata/{scene}/{scene}.house)."""
+    import dataclasses
+
+    root = cfg.data.scene_root
+    house = os.path.join(root, "metadata", scene, f"{scene}.house")
+    d = dataclasses.replace(
+        cfg.data,
+        synthetic=False,
+        metadata_dir=os.path.join(root, "metadata", scene),
+        binaural_rir_dir=os.path.join(root, "binaural_rirs", scene),
+        scene_observation_file=os.path.join(
+            root, "scene_observations", f"{scene}.pkl"
+        ),
+        house_file=house if os.path.exists(house) else "",
+    )
+    return build_assets(dataclasses.replace(cfg, data=d))
+
+
 def load_source_sounds(sound_dir: str, sampling_rate: int):
     """Load mono source wavs (the reference uses librosa.load with
     resampling, simulator.py:579-600; mismatched rates are resampled via
@@ -121,14 +165,17 @@ def discover_goal_nodes(binaural_rir_dir: str, graph: SceneGraph) -> np.ndarray:
 
 
 def load_episode_bank(
-    cfg: ExperimentConfig, assets: SceneAssets, split_path: str
+    cfg: ExperimentConfig,
+    assets: SceneAssets,
+    split_path: str,
+    content_scenes: tuple[str, ...] = ("*",),
 ) -> EpisodeBank:
     """Episode bank from a reference-format {split}.json.gz dataset."""
     from soundspaces_tpu.datasets import AudioNavDataset, episodes_to_bank
 
     from soundspaces_tpu.scene.mp3d import CATEGORY_INDEX_MAPPING
 
-    ds = AudioNavDataset.from_split(split_path)
+    ds = AudioNavDataset.from_split(split_path, content_scenes=content_scenes)
     _, names, _ = load_source_sounds(
         cfg.data.source_sound_dir, cfg.data.sampling_rate
     )
@@ -147,14 +194,13 @@ def build_env(
     sequential: bool = False,
     scene: DeviceScene | None = None,
 ) -> AudioNavEnv:
-    if assets is None and cfg.data.num_scenes > 1:
-        assert cfg.data.synthetic, (
-            "data.num_scenes > 1 builds synthetic scene sets; for real "
-            "multi-scene data stack assets via train.multiscene directly"
-        )
+    multi_real = bool(
+        assets is None and not cfg.data.synthetic and cfg.data.scene_root
+    )
+    if assets is None and (cfg.data.num_scenes > 1 or multi_real):
         assert episodes is None, (
             "an explicit episode bank cannot be combined with the "
-            "num_scenes > 1 synthetic branch (it would be silently ignored)"
+            "multi-scene branch (it would be silently ignored)"
         )
         import dataclasses
 
@@ -164,21 +210,39 @@ def build_env(
             stack_scenes,
         )
 
-        assets_list = [
-            build_assets(
-                dataclasses.replace(
-                    cfg, data=dataclasses.replace(cfg.data, seed=cfg.data.seed + i)
+        if multi_real:
+            # reference-layout data root: one scene set shared by banks and
+            # episodes, episodes drawn from each scene's content file —
+            # the reference's scene round-robin over real datasets
+            # (env_utils.py:36-69)
+            scene_names = discover_scenes(cfg)
+            assets_list = [build_scene_assets(cfg, s) for s in scene_names]
+            split_path = cfg.data.episode_split_path
+            if sequential and cfg.data.eval_episode_split_path:
+                split_path = cfg.data.eval_episode_split_path
+            banks = [
+                load_episode_bank(cfg, a, split_path, content_scenes=(s,))
+                for s, a in zip(scene_names, assets_list)
+            ]
+        else:
+            assets_list = [
+                build_assets(
+                    dataclasses.replace(
+                        cfg,
+                        data=dataclasses.replace(
+                            cfg.data, seed=cfg.data.seed + i
+                        ),
+                    )
                 )
-            )
-            for i in range(cfg.data.num_scenes)
-        ]
-        banks = [
-            make_episode_bank(
-                a, cfg.data.num_episodes, seed=cfg.data.seed + 1 + i,
-                min_geodesic_hops=1,
-            )
-            for i, a in enumerate(assets_list)
-        ]
+                for i in range(cfg.data.num_scenes)
+            ]
+            banks = [
+                make_episode_bank(
+                    a, cfg.data.num_episodes, seed=cfg.data.seed + 1 + i,
+                    min_geodesic_hops=1,
+                )
+                for i, a in enumerate(assets_list)
+            ]
         env_cfg = cfg.env
         if sequential:
             env_cfg = dataclasses.replace(env_cfg, episode_sampling="sequential")
@@ -219,7 +283,9 @@ def build_env(
             )
         return MultiSceneEnv(
             env_cfg,
-            stack_scenes(assets_list),
+            # a stacked DeviceScene passed in (e.g. the train env's) skips a
+            # second host->device upload of every scene's banks
+            scene if scene is not None else stack_scenes(assets_list),
             stack_episode_banks(banks),
             num_envs or cfg.trainer.num_envs,
             base_cls=base_cls,
@@ -357,8 +423,19 @@ def build_waypoint_env(
 
 
 def build_trainer(cfg: ExperimentConfig, mesh=None):
-    assets = build_assets(cfg)
+    # multi-scene configs (synthetic scene sets or a reference-layout scene
+    # root) build their per-scene assets inside build_env's stacking branch;
+    # prebuilding one scene here would silently bypass it
+    multi_scene = cfg.data.num_scenes > 1 or (
+        not cfg.data.synthetic and bool(cfg.data.scene_root)
+    )
+    assets = None if multi_scene else build_assets(cfg)
     if cfg.trainer_name in ("AVWanTrainer", "avwan"):
+        assert not multi_scene, (
+            "AVWanTrainer builds per-scene waypoint tables over a single "
+            "scene; train scenes separately or use AV-Nav/SAVi for "
+            "multi-scene jobs"
+        )
         from soundspaces_tpu.avwan.trainer import AVWanTrainer
 
         env = build_waypoint_env(cfg, assets)

@@ -38,6 +38,14 @@ class DataConfig:
     image_size: int = 128
     modalities: tuple[str, ...] = ("depth",)
     seed: int = 0
+    # real-data multi-scene: a reference-layout data root
+    # ({root}/metadata/{scene}, {root}/binaural_rirs/{scene},
+    # {root}/scene_observations/{scene}.pkl) + the scene list. Scenes default
+    # to those discovered from the episode split's content/ dir — exactly how
+    # the reference's construct_envs derives its scene set from the dataset
+    # before round-robining it over workers (env_utils.py:36-69).
+    scene_root: str = ""
+    scenes: tuple[str, ...] = ()
     # real-data paths (reference layouts)
     metadata_dir: str = ""
     binaural_rir_dir: str = ""

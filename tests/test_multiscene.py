@@ -290,3 +290,109 @@ def test_multiscene_continuous():
         state, obs, r, d, info = env.step(state, jnp.ones(4, jnp.int32))
         assert np.isfinite(np.asarray(r)).all()
     assert "collisions" in info
+
+
+@pytest.fixture(scope="module")
+def two_scene_root(tmp_path_factory):
+    """Two tiny reference-format worlds under ONE data root, plus a merged
+    multi-scene episode dataset (empty top-level split + one
+    content/{scene}.json.gz per scene — exactly how the reference ships
+    multi-scene splits, audionav_dataset.py:60-76)."""
+    import gzip
+    import json
+    import os
+    import shutil
+
+    from soundspaces_tpu.tools.make_realistic import build_world
+
+    out = str(tmp_path_factory.mktemp("multiroot"))
+    for name, seed in (("tinyA", 0), ("tinyB", 5)):
+        build_world(
+            out, scene=name, width=12, depth=12, num_goals=2,
+            sampling_rate=4000, rir_max_len=800, num_rays=40,
+            train_episodes=12, val_episodes=4, test_episodes=4,
+            image_size=16, seed=seed,
+        )
+    multi = os.path.join(out, "datasets", "audionav", "multi", "train")
+    os.makedirs(os.path.join(multi, "content"))
+    with gzip.open(os.path.join(multi, "train.json.gz"), "wt") as f:
+        f.write(json.dumps({"episodes": []}))
+    for name in ("tinyA", "tinyB"):
+        shutil.copy(
+            os.path.join(out, "datasets", "audionav", name, "train",
+                         "content", f"{name}.json.gz"),
+            os.path.join(multi, "content", f"{name}.json.gz"),
+        )
+    return out
+
+
+def test_multiscene_reference_format_root(two_scene_root):
+    """data.scene_root: scenes discovered from the dataset's content dir,
+    per-scene banks ingested through the reference-format loaders, stacked
+    into a MultiSceneEnv whose env groups step their own scene."""
+    from soundspaces_tpu.builder import build_env, discover_scenes
+    from soundspaces_tpu.config import get_config
+
+    root = two_scene_root
+    cfg = get_config(opts=[
+        "data.synthetic=false",
+        f"data.scene_root={root}",
+        f"data.source_sound_dir={root}/sounds/1s_all",
+        "data.episode_split_path="
+        f"{root}/datasets/audionav/multi/train/train.json.gz",
+        "data.sampling_rate=4000", "data.rir_max_len=800",
+        "env.sensors=[spectrogram,depth]", "env.max_episode_steps=8",
+    ])
+    assert discover_scenes(cfg) == ["tinyA", "tinyB"]
+    env = build_env(cfg, num_envs=4)
+    assert env.num_scenes == 2
+    # the two scenes are genuinely different worlds (independent floorplans)
+    ptsA, ptsB = np.asarray(env.scene.points[0]), np.asarray(env.scene.points[1])
+    assert ptsA.shape != ptsB.shape or not np.allclose(ptsA, ptsB)
+
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["spectrogram"].shape[0] == 4
+    assert np.isfinite(np.asarray(obs["spectrogram"])).all()
+    for _ in range(3):
+        state, obs, r, d, info = env.step(state, jnp.ones(4, jnp.int32))
+        assert np.isfinite(np.asarray(r)).all()
+    # group g's envs hold nodes of scene g: their positions must be actual
+    # scene-g graph points
+    node = np.asarray(state.node).reshape(2, 2)
+    for g, pts in enumerate((ptsA, ptsB)):
+        assert (node[g] < pts.shape[0]).all()
+
+
+def test_multiscene_root_cli_train(two_scene_root, tmp_path):
+    """The full CLI train path on a reference-format scene root: build_trainer
+    must hand the trainer a MultiSceneEnv (not silently fall back to one
+    scene) and training must run."""
+    import json as _json
+
+    from soundspaces_tpu.run import main
+
+    root = two_scene_root
+    exp = tmp_path / "exp.yaml"
+    exp.write_text(
+        "trainer:\n  num_updates: 2\n  num_envs: 4\n  log_interval: 1\n"
+        "  checkpoint_interval: 100\n"
+        "ppo:\n  num_steps: 2\n  hidden_size: 16\n  ppo_epoch: 1\n"
+        "  num_mini_batch: 1\n"
+        "env:\n  sensors: [spectrogram]\n  max_episode_steps: 6\n"
+        "data:\n"
+        "  synthetic: false\n"
+        f"  scene_root: {root}\n"
+        f"  source_sound_dir: {root}/sounds/1s_all\n"
+        f"  episode_split_path: {root}/datasets/audionav/multi/train/train.json.gz\n"
+        "  sampling_rate: 4000\n  rir_max_len: 800\n"
+    )
+    model_dir = tmp_path / "msroot_run"
+    main([
+        "--run-type", "train", "--exp-config", str(exp),
+        "--model-dir", str(model_dir), "--force-cpu",
+    ])
+    lines = [
+        _json.loads(l)
+        for l in (model_dir / "train.log").read_text().splitlines()
+    ]
+    assert lines and np.isfinite(lines[-1]["reward"])
