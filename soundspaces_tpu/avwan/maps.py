@@ -127,9 +127,14 @@ def egocentric_crops(
     averaged acoustic map ("am"), rotated so the agent faces up
     (mapper.py get_egocentric_* 233-305)."""
     m, g = cfg.internal_map_size, cfg.geometric_map_size
-    row = jnp.clip(m // 2 + cell_z - g // 2, 0, m - g).astype(jnp.int32)
-    col = jnp.clip(m // 2 + cell_x - g // 2, 0, m - g).astype(jnp.int32)
-    crop = jax.lax.dynamic_slice(state.geometric, (row, col, 0), (g, g, 2))
+    # pad so the crop stays CENTERED on the agent at the map border (a
+    # clamped slice silently shifts the crop beyond (m-g)/2 cells from the
+    # episode start); zeros = unexplored, same as in-map unknown space
+    p = (g + 1) // 2
+    padded = jnp.pad(state.geometric, ((p, p), (p, p), (0, 0)))
+    row = (p + m // 2 + cell_z - g // 2).astype(jnp.int32)
+    col = (p + m // 2 + cell_x - g // 2).astype(jnp.int32)
+    crop = jax.lax.dynamic_slice(padded, (row, col, 0), (g, g, 2))
     crop = jax.lax.switch(
         (-rot_idx) % 4,
         [

@@ -55,12 +55,18 @@ def coarse_free_window(
     explored>=thresh); unexplored space is free until proven otherwise."""
     m = geometric.shape[0]
     e = window * scale
-    # agent block's top-left in 0.1 m cells: map center + cell*scale - e/2
-    row = (m // 2 + cell_z * scale - e // 2).astype(jnp.int32)
-    col = (m // 2 + cell_x * scale - e // 2).astype(jnp.int32)
-    row = jnp.clip(row, 0, m - e)
-    col = jnp.clip(col, 0, m - e)
-    patch = jax.lax.dynamic_slice(geometric, (row, col, 0), (e, e, 2))
+    # pad so the window stays CENTERED on the agent even at the map border —
+    # a clamped slice would shift the window while every consumer
+    # (reachable_from_center, distance descent, the action mask) still treats
+    # [c, c] as the agent's cell, silently misaligning all planning beyond
+    # (m - e)/2 fine cells from the episode start. Zero padding = unexplored
+    # = optimistically free, the same semantics as in-map unknown space.
+    p = (e + 1) // 2
+    padded = jnp.pad(geometric, ((p, p), (p, p), (0, 0)))
+    # agent block's top-left in 0.1 m cells: pad + map center + cell*scale - e/2
+    row = (p + m // 2 + cell_z * scale - e // 2).astype(jnp.int32)
+    col = (p + m // 2 + cell_x * scale - e // 2).astype(jnp.int32)
+    patch = jax.lax.dynamic_slice(padded, (row, col, 0), (e, e, 2))
     core = patch.reshape(window, scale, window, scale, 2)[
         :, 1 : scale - 1, :, 1 : scale - 1, :
     ]

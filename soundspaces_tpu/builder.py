@@ -87,6 +87,26 @@ def discover_scenes(cfg: ExperimentConfig) -> list[str]:
     )
 
 
+def light_scene_assets(cfg: ExperimentConfig, scene: str):
+    """Graph + goal-slot table only — enough to resolve an episode dataset
+    against a scene whose banks are ALREADY device-resident. Skips
+    re-reading the scene's entire RIR wav tree (GBs at realistic scale)."""
+    from types import SimpleNamespace
+
+    root = cfg.data.scene_root
+    graph = SceneGraph.from_metadata(
+        os.path.join(root, "metadata", scene), cfg.data.grid_size
+    )
+    goals = discover_goal_nodes(
+        os.path.join(root, "binaural_rirs", scene), graph
+    )
+    slot = np.full(graph.num_nodes, -1, np.int32)
+    slot[goals] = np.arange(len(goals), dtype=np.int32)
+    return SimpleNamespace(
+        graph=graph, acoustics=SimpleNamespace(goal_slot_of_node=slot)
+    )
+
+
 def build_scene_assets(cfg: ExperimentConfig, scene: str) -> SceneAssets:
     """One scene's assets out of a reference-layout data root
     ({root}/metadata/{scene}, {root}/binaural_rirs/{scene},
@@ -115,23 +135,15 @@ def load_source_sounds(sound_dir: str, sampling_rate: int):
     tools.reference_format.resample). Returns (waves [S, max_samples]
     zero-padded to whole seconds, names, lengths_sec [S] true per-sound
     durations in whole seconds)."""
-    from scipy.io import wavfile
-
-    from soundspaces_tpu.tools.reference_format import resample
+    from soundspaces_tpu.tools.reference_format import load_wav_mono
 
     names, waves = [], []
     for fname in sorted(os.listdir(sound_dir)):
         if not fname.endswith(".wav"):
             continue
-        sr, data = wavfile.read(os.path.join(sound_dir, fname))
-        if data.dtype.kind == "i":
-            data = data.astype(np.float32) / np.iinfo(data.dtype).max
-        if data.ndim > 1:
-            data = data.mean(axis=1)
-        if sr != sampling_rate:
-            data = resample(data, sr, sampling_rate)
         names.append(fname[: -len(".wav")])
-        waves.append(data.astype(np.float32))
+        waves.append(load_wav_mono(os.path.join(sound_dir, fname),
+                                   sampling_rate))
     lengths = np.array(
         [max(-(-w.shape[0] // sampling_rate), 1) for w in waves], np.int32
     )
@@ -176,9 +188,13 @@ def load_episode_bank(
     from soundspaces_tpu.scene.mp3d import CATEGORY_INDEX_MAPPING
 
     ds = AudioNavDataset.from_split(split_path, content_scenes=content_scenes)
-    _, names, _ = load_source_sounds(
-        cfg.data.source_sound_dir, cfg.data.sampling_rate
-    )
+    # only the name->id mapping is needed here — don't decode/resample every
+    # source wav a second time just to learn the directory listing
+    names = [
+        f[: -len(".wav")]
+        for f in sorted(os.listdir(cfg.data.source_sound_dir))
+        if f.endswith(".wav")
+    ]
     return episodes_to_bank(
         ds.episodes, assets.graph, assets.acoustics,
         {n: i for i, n in enumerate(names)},
@@ -216,7 +232,13 @@ def build_env(
             # the reference's scene round-robin over real datasets
             # (env_utils.py:36-69)
             scene_names = discover_scenes(cfg)
-            assets_list = [build_scene_assets(cfg, s) for s in scene_names]
+            # with a stacked DeviceScene passed in, the banks are already on
+            # device: resolve episodes with graph-only assets instead of
+            # re-reading every scene's RIR wavs
+            make_assets = (
+                build_scene_assets if scene is None else light_scene_assets
+            )
+            assets_list = [make_assets(cfg, s) for s in scene_names]
             split_path = cfg.data.episode_split_path
             if sequential and cfg.data.eval_episode_split_path:
                 split_path = cfg.data.eval_episode_split_path

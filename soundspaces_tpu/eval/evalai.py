@@ -173,6 +173,7 @@ class EnvironmentServicer:
         self._state = None
         self._obs = None
         self._over = True
+        self._env_done = False
         self._info = {}
         self._steps = 0
 
@@ -185,10 +186,25 @@ class EnvironmentServicer:
         if method == "num_episodes":
             return pack_for_grpc({"num_episodes": self._num_episodes})
         if method == "reset":
-            self._rng, key = jax.random.split(self._rng)
-            self._state, obs = self.env.reset(key)
-            self._obs = {k: np.asarray(v[0]) for k, v in obs.items()}
+            if self._state is None:
+                # first episode only: later protocol resets must NOT call
+                # env.reset — that would restart the sequential episode
+                # cursor at ep_ptr=0 and replay episode 0 forever
+                self._rng, key = jax.random.split(self._rng)
+                self._state, obs = self.env.reset(key)
+                self._obs = {k: np.asarray(v[0]) for k, v in obs.items()}
+            elif not self._env_done:
+                # the protocol's step cap fired mid-episode: force the env's
+                # own episode boundary with STOP so the auto-reset advances
+                # to the next episode's first observation
+                self._state, obs, _, _, _ = self.env.step(
+                    self._state, jnp.zeros((1,), jnp.int32)
+                )
+                self._obs = {k: np.asarray(v[0]) for k, v in obs.items()}
+            # else: the post-done auto-reset obs already belongs to the
+            # next episode (env/audionav.py step docstring)
             self._over = False
+            self._env_done = False
             self._steps = 0
             return pack_for_grpc({"observations": self._obs})
         if method == "episode_over":
@@ -200,7 +216,8 @@ class EnvironmentServicer:
             self._state, obs, _, done, info = self.env.step(self._state, act)
             self._obs = {k: np.asarray(v[0]) for k, v in obs.items()}
             self._steps += 1
-            if bool(np.asarray(done)[0]) or self._steps >= self._max_steps:
+            self._env_done = bool(np.asarray(done)[0])
+            if self._env_done or self._steps >= self._max_steps:
                 self._over = True
                 self._info = {
                     k: float(np.asarray(v)[0]) for k, v in info.items()

@@ -56,7 +56,11 @@ def measure_rt60(
     slope = (n * std - st * sd) / jnp.where(denom > 0, denom, 1.0)  # dB/sample
     slope = jnp.minimum(slope, -1e-12)  # decay curves are non-increasing
     rt60 = -60.0 / slope
-    return rt60 / sampling_rate
+    # no decay window at all (all-zero / truncated RIRs that never reach
+    # -5 dB): the fit is vacuous — return NaN instead of an absurd ~1e13 s
+    # that would silently dominate any averaged statistic
+    valid = jnp.sum(w, axis=-1) >= 2.0
+    return jnp.where(valid, rt60 / sampling_rate, jnp.nan)
 
 
 @jax.jit

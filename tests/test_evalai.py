@@ -41,3 +41,7 @@ def test_evalai_protocol_round_trip():
     t.join(timeout=30)
     assert metrics["success"] == 1.0
     assert abs(metrics["spl"] - 1.0) < 1e-5
+    # the sequential cursor must have advanced across protocol resets —
+    # each remote episode is a DISTINCT dataset episode, not a replay of
+    # episode 0 (the reference's servicer likewise iterates the dataset)
+    assert int(np.asarray(servicer._state.ep_ptr)[0]) >= 2

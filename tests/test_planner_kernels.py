@@ -108,3 +108,23 @@ def test_descend_step_stuck_on_unreachable():
     dist = distance_field(sealed, target)
     _, improves = descend_step(dist, jnp.asarray([W // 2, W // 2]))
     assert not bool(improves)
+
+
+def test_window_stays_agent_centered_at_map_border():
+    """An agent far from the episode start (planning window overhanging the
+    internal map edge) must still see itself at the window center: a mapped
+    obstacle one planning cell ahead must appear at [c-1, c], not shifted
+    (a clamped slice used to shift the whole window, silently misaligning
+    the mask/plan near borders — MP3D-scale houses exceed the margin)."""
+    # agent near the top-left corner: the window overhangs the map edge by
+    # 12 fine cells, while the wall cell (one planning cell north) is still
+    # fully on-map
+    cz = cx = -8
+    geo = _stamp(_empty_geometric(), cz - 1, cx, 1.0, 1.0)  # wall just north
+    free = coarse_free_window(geo, jnp.int32(cx), jnp.int32(cz),
+                              window=W, scale=S)
+    c = W // 2
+    assert float(free[c, c]) == 1.0
+    assert float(free[c - 1, c]) == 0.0, "obstacle must sit one cell ahead"
+    # off-map cells are unexplored -> optimistically free, not blocked
+    assert float(free.sum()) == W * W - 1
