@@ -393,6 +393,21 @@ def build_env(
     )
 
 
+def auto_internal_map_size(points, mapper) -> int:
+    """Internal map cells needed to cover the scene from ANY episode start:
+    an agent |diam| cells from its start must still register egomap patches
+    in-bounds (the reference's fixed 500-cell map assumes Replica
+    apartments; MP3D-scale houses overflow it). Rounded up to 100s so
+    shapes stay stable across similar scenes; never shrinks the default."""
+    pts = np.asarray(points)
+    diam = max(
+        float(pts[:, 0].max() - pts[:, 0].min()),
+        float(pts[:, 2].max() - pts[:, 2].min()),
+    )
+    need = 2 * int(np.ceil(diam / mapper.map_resolution)) + 2 * mapper.egomap_size
+    return max(mapper.internal_map_size, -(-need // 100) * 100)
+
+
 def build_waypoint_env(
     cfg: ExperimentConfig, assets: SceneAssets, num_envs: int | None = None,
     sequential: bool = False, scene=None, tables=None,
@@ -430,6 +445,10 @@ def build_waypoint_env(
         action_map_size=cfg.avwan.action_map_size,
         geometric_map_size=cfg.avwan.geometric_map_size,
         acoustic_map_size=cfg.avwan.acoustic_map_size,
+    )
+    mapper = dc.replace(
+        mapper,
+        internal_map_size=auto_internal_map_size(assets.graph.points, mapper),
     )
     wp_cfg = WaypointConfig(
         prediction_interval=cfg.avwan.prediction_interval, mapper=mapper,

@@ -428,3 +428,21 @@ def test_intensity_bank_matches_live_convolution(wp_world):
     np.testing.assert_array_equal(
         np.asarray(sa.mapper.acoustic_count), np.asarray(sb.mapper.acoustic_count)
     )
+
+
+def test_auto_internal_map_size_covers_big_scenes():
+    """MP3D-scale scenes (> ~23 m across) must grow the mapper's internal
+    map so egomap registration/planning never hits the border; small scenes
+    keep the reference default."""
+    import numpy as np
+
+    from soundspaces_tpu.avwan.maps import MapperConfig
+    from soundspaces_tpu.builder import auto_internal_map_size
+
+    cfg = MapperConfig()
+    small = np.array([[0, 0, 0], [8.0, 0, 6.0]], np.float32)
+    assert auto_internal_map_size(small, cfg) == cfg.internal_map_size
+    big = np.array([[0, 0, 0], [48.0, 0, 30.0]], np.float32)  # 48 m house
+    need = 2 * 480 + 2 * cfg.egomap_size
+    got = auto_internal_map_size(big, cfg)
+    assert got >= need and got % 100 == 0
