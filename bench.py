@@ -31,6 +31,7 @@ import time
 import numpy as np
 
 SCAN_STEPS = int(os.environ.get("SS_TPU_SCAN_STEPS", "50"))
+BF16_FFT_BANK = os.environ.get("SS_TPU_BF16_FFT", "0") == "1"
 TIMED_CALLS = int(os.environ.get("SS_TPU_TIMED_CALLS", "4"))
 STEP_CHUNKS = int(os.environ.get("SS_TPU_STEP_CHUNKS", "2"))
 SENSORS = tuple(
@@ -132,9 +133,16 @@ def build_world(num_envs, sampling_rate, rir_len, num_nodes):
         scene.sound_lengths_sec,
         jax.random.PRNGKey(7),
     )
-    from soundspaces_tpu.ops.partitioned import device_rir_partition_ffts
+    from soundspaces_tpu.ops.partitioned import (
+        device_rir_partition_ffts,
+        spectra_to_bf16_pair,
+    )
 
     part_fft = device_rir_partition_ffts(rir, CONV_BLOCK)
+    if BF16_FFT_BANK:
+        # (re, im) bfloat16 pairs: halves the dominant per-step HBM gather
+        # (bf16 programs cleared the tunnel on 2026-08-18; wedged before)
+        part_fft = spectra_to_bf16_pair(part_fft)
     scene = scene.replace(
         rir=rir, seg_block_fft=seg, rir_max_len=rir_len, conv_block=CONV_BLOCK,
         rir_part_fft=part_fft,

@@ -727,11 +727,20 @@ class ContinuousAudioNavEnv:
                     scene, state.prev_rir, seg
                 )
         elif use_fft_bank:
-            h = scene.rir_part_fft[az, node, state.goal_slot]
+            if jnp.issubdtype(scene.rir_part_fft.dtype, jnp.complexfloating):
+                gather = lambda a, n: scene.rir_part_fft[a, n, state.goal_slot]
+            else:
+                # bf16 [2(re,im), ...] pair bank: upcast after the halved
+                # per-plane gather (see gather_bf16_pair layout note)
+                from soundspaces_tpu.ops.partitioned import gather_bf16_pair
+
+                gather = lambda a, n: gather_bf16_pair(
+                    scene.rir_part_fft,
+                    lambda plane: plane[a, n, state.goal_slot],
+                )
+            h = gather(az, node)
             if xf:
-                hp = scene.rir_part_fft[
-                    state.prev_az, state.prev_node, state.goal_slot
-                ]
+                hp = gather(state.prev_az, state.prev_node)
                 h = jnp.concatenate([hp, h], axis=0)
             audio = self._render_audio_fft(scene, state, h, seg)
             if xf:

@@ -57,7 +57,12 @@ def shard_scene_banks(
 
     updates = {}
     for f, dim in _NODE_DIMS.items():
-        updates[f] = put(getattr(scene, f), dim)
+        x = getattr(scene, f)
+        if f == "rir_part_fft" and x is not None and not jax.numpy.issubdtype(
+            x.dtype, jax.numpy.complexfloating
+        ):
+            dim += 1  # bf16 pair banks carry a leading (re, im) axis
+        updates[f] = put(x, dim)
     replicate_fields = (
         "points", "forward_neighbor", "goal_slot_of_node", "seg_fft",
         "seg_block_fft", "sounds", "sounds_ext", "sound_lengths_sec",

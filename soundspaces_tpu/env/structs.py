@@ -107,15 +107,19 @@ class DeviceScene:
 
     @classmethod
     def from_assets(
-        cls, assets: SceneAssets, rir_dtype=None, precompute_rir_fft=False
+        cls, assets: SceneAssets, rir_dtype=None, precompute_rir_fft=False,
+        rir_fft_dtype=None,
     ) -> "DeviceScene":
         """rir_dtype=jnp.bfloat16 halves the RIR bank's HBM footprint and
         host->device transfer; the convolution upcasts per-gather.
         precompute_rir_fft stores partition spectra (2x memory, no per-step
-        forward FFTs)."""
+        forward FFTs). rir_fft_dtype=jnp.bfloat16 stores those spectra as
+        (re, im) bfloat16 pairs — half the gather bytes of complex64, ~1e-2
+        relative waveform error (spectra_to_bf16_pair)."""
         from soundspaces_tpu.ops.partitioned import (
             extend_source_for_slicing,
             precompute_rir_partition_ffts,
+            spectra_to_bf16_pair,
         )
 
         g, ac = assets.graph, assets.acoustics
@@ -126,6 +130,9 @@ class DeviceScene:
             part_fft = _put_complex(
                 precompute_rir_partition_ffts(ac.rir, ac.conv_block)
             )
+            if rir_fft_dtype is not None:
+                assert rir_fft_dtype == jnp.bfloat16, rir_fft_dtype
+                part_fft = spectra_to_bf16_pair(part_fft)
         return cls(
             rir_part_fft=part_fft,
             instance_to_mpcat=(
