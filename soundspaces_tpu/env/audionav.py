@@ -444,17 +444,12 @@ class AudioNavEnv:
         # ops/partitioned.py; also the only FFT size the axon backend handles)
         seg_blocks = scene.seg_block_fft[sound_id, audio_index]
         if scene.rir_part_fft is not None:
-            if jnp.issubdtype(scene.rir_part_fft.dtype, jnp.complexfloating):
-                h = scene.rir_part_fft[az_idx, node, goal_slot]
-            else:
-                # bank stored [2(re,im), ..., B] bfloat16: the gather reads
-                # half the HBM bytes; the upcast fuses downstream
-                from soundspaces_tpu.ops.partitioned import gather_bf16_pair
+            from soundspaces_tpu.ops.partitioned import gather_part_fft
 
-                h = gather_bf16_pair(
-                    scene.rir_part_fft,
-                    lambda plane: plane[az_idx, node, goal_slot],
-                )
+            h = gather_part_fft(
+                scene.rir_part_fft,
+                lambda plane: plane[az_idx, node, goal_slot],
+            )
             return partitioned_windowed_convolve_fft(
                 seg_blocks, h, scene.sampling_rate, scene.conv_block
             )

@@ -727,17 +727,12 @@ class ContinuousAudioNavEnv:
                     scene, state.prev_rir, seg
                 )
         elif use_fft_bank:
-            if jnp.issubdtype(scene.rir_part_fft.dtype, jnp.complexfloating):
-                gather = lambda a, n: scene.rir_part_fft[a, n, state.goal_slot]
-            else:
-                # bf16 [2(re,im), ...] pair bank: upcast after the halved
-                # per-plane gather (see gather_bf16_pair layout note)
-                from soundspaces_tpu.ops.partitioned import gather_bf16_pair
+            from soundspaces_tpu.ops.partitioned import gather_part_fft
 
-                gather = lambda a, n: gather_bf16_pair(
-                    scene.rir_part_fft,
-                    lambda plane: plane[a, n, state.goal_slot],
-                )
+            gather = lambda a, n: gather_part_fft(
+                scene.rir_part_fft,
+                lambda plane: plane[a, n, state.goal_slot],
+            )
             h = gather(az, node)
             if xf:
                 hp = gather(state.prev_az, state.prev_node)

@@ -26,7 +26,10 @@ from soundspaces_tpu.env.structs import DeviceScene
 # field -> index of its node dimension
 _NODE_DIMS = {
     "rir": 1,  # [4, N, G, 2, L]
-    "rir_part_fft": 1,  # [4, N, G, 2, P, F]
+    # c64 layout [4, N, G, 2, P, B]; the bf16 (re, im)-pair layout
+    # [2, 4, N, G, 2, P, B] adds a leading pair axis (node dim becomes 2 —
+    # handled by the dtype branch in shard_scene_banks below)
+    "rir_part_fft": 1,
     "geodesic_hops": 0,  # [N, N]
     "oracle_next": 0,  # [N, N]
 }

@@ -84,8 +84,11 @@ class DeviceScene:
     occupancy: jax.Array  # [Gz, Gx] f32 walkable grid at egomap_resolution
     node_grid_xz: jax.Array  # [N, 2] i32 occupancy-cell coords per node
     proximity: jax.Array  # [N] f32 distance to nearest obstacle (<= 2 m cap)
-    # optional precomputed RIR partition spectra [4, N, G, 2, P, F] c64:
-    # trades 2x bank memory for removing all per-step forward FFTs
+    # optional precomputed RIR partition spectra: [4, N, G, 2, P, B] c64,
+    # or — when rir_fft_dtype=bfloat16 — the (re, im)-pair layout
+    # [2, 4, N, G, 2, P, B] bf16 with the pair on the LEADING axis
+    # (ops/partitioned.spectra_to_bf16_pair). Trades 2x bank memory for
+    # removing all per-step forward FFTs; index via gather_part_fft.
     rir_part_fft: jax.Array | None = None
     # wrap-extended sources [S, P*B + max_samples + tail] for the continuous
     # mode's contiguous-slice delay-line windows (extend_source_for_slicing)
@@ -119,7 +122,7 @@ class DeviceScene:
         from soundspaces_tpu.ops.partitioned import (
             extend_source_for_slicing,
             precompute_rir_partition_ffts,
-            spectra_to_bf16_pair,
+            spectra_to_bf16_pair_np,
         )
 
         g, ac = assets.graph, assets.acoustics
@@ -127,12 +130,15 @@ class DeviceScene:
         occupancy, node_xz = _occupancy_grid(g, resolution=0.1)
         part_fft = None
         if precompute_rir_fft:
-            part_fft = _put_complex(
-                precompute_rir_partition_ffts(ac.rir, ac.conv_block)
-            )
+            host_fft = precompute_rir_partition_ffts(ac.rir, ac.conv_block)
             if rir_fft_dtype is not None:
                 assert rir_fft_dtype == jnp.bfloat16, rir_fft_dtype
-                part_fft = spectra_to_bf16_pair(part_fft)
+                # cast to the bf16 (re, im)-pair layout host-side: halves
+                # the host->device transfer and avoids both banks briefly
+                # coexisting on device (ADVICE r2)
+                part_fft = jnp.asarray(spectra_to_bf16_pair_np(host_fft))
+            else:
+                part_fft = _put_complex(host_fft)
         return cls(
             rir_part_fft=part_fft,
             instance_to_mpcat=(

@@ -87,6 +87,28 @@ def spectra_to_bf16_pair(spec: jax.Array) -> jax.Array:
     )
 
 
+def spectra_to_bf16_pair_np(spec: np.ndarray) -> np.ndarray:
+    """Host-side spectra_to_bf16_pair: packed [..., B] complex64 numpy ->
+    [2, ..., B] bfloat16 numpy (via ml_dtypes). Casting BEFORE upload
+    halves the host->device transfer and avoids the transient double
+    allocation of uploading f32 and re-casting on device."""
+    import ml_dtypes
+
+    return np.stack([spec.real, spec.imag], axis=0).astype(ml_dtypes.bfloat16)
+
+
+def gather_part_fft(bank: jax.Array, index_fn):
+    """Gather packed RIR partition spectra from `bank` regardless of its
+    storage layout: complex64 [...banked..., B] banks index directly;
+    bfloat16 (re, im)-pair banks [2, ...banked..., B] go through
+    gather_bf16_pair (per-plane gather, then a fused f32 upcast).
+    `index_fn(plane)` performs the caller's gather on one banked layout.
+    The single dispatch point for every rir_part_fft index site."""
+    if jnp.issubdtype(bank.dtype, jnp.complexfloating):
+        return index_fn(bank)
+    return gather_bf16_pair(bank, index_fn)
+
+
 def bf16_pair_to_c64(pair: jax.Array) -> jax.Array:
     """[2, ..., B] bfloat16 (re, im) -> packed complex64 spectra [..., B].
 

@@ -1,8 +1,10 @@
 """bfloat16 (re, im)-pair RIR partition-spectra banks: the throughput
 option unblocked once the TPU tunnel accepted bf16 programs.
 
-The bank stores packed partition spectra as [..., B, 2] bfloat16 instead of
-complex64 (ops/partitioned.spectra_to_bf16_pair), halving the bytes of the
+The bank stores packed partition spectra as [2, ..., B] bfloat16 — the
+(re, im) pair on a LEADING axis (ops/partitioned.spectra_to_bf16_pair; a
+trailing pair axis tile-pads 42.7x and OOMs) — instead of complex64,
+halving the bytes of the
 per-step HBM gather that dominates the env step. Arithmetic stays f32; the
 only loss is bf16 rounding of the RIR spectrum, bounded here against the
 f32 bank on the same world (reference convolution semantics:
