@@ -76,9 +76,10 @@ class AVWanTrainer(PPOTrainer):
         def rollout_fn(params, carry, scene, episodes, tables):
             return self._rollout_phase(params, carry, scene, episodes, tables)
 
-        def update_fn(params, opt_state, bundle, rng, clip):
+        def update_fn(params, opt_state, bundle, rng, clip, ent):
             return self._update_phase(
-                params, opt_state, bundle, rng, clip, axis_name=None
+                params, opt_state, bundle, rng, clip, axis_name=None,
+                ent_coef=ent,
             )
 
         return jax.jit(rollout_fn), jax.jit(update_fn)
@@ -132,7 +133,7 @@ class AVWanTrainer(PPOTrainer):
         )
 
     def _update_phase(self, params, opt_state, bundle, rng, clip,
-                      axis_name=None):
+                      axis_name=None, ent_coef=None):
         ppo = self.ppo
         traj = bundle["traj"]
         init_hidden = bundle["init_hidden"]
@@ -162,8 +163,9 @@ class AVWanTrainer(PPOTrainer):
                 (values - returns) ** 2, (vc - returns) ** 2
             ).mean()
             ent = entropy.mean()
+            ec = ppo.entropy_coef if ent_coef is None else ent_coef
             total = (action_loss + ppo.value_loss_coef * value_loss
-                     - ppo.entropy_coef * ent)
+                     - ec * ent)
             return total, {"action_loss": action_loss,
                            "value_loss": value_loss, "entropy": ent}
 
@@ -193,12 +195,13 @@ class AVWanTrainer(PPOTrainer):
         return params, opt_state, metrics
 
     def make_train_step(self, axis_name: str | None = None):
-        def step(params, opt_state, carry, rng, clip, scene, episodes, tables):
+        def step(params, opt_state, carry, rng, clip, ent_coef, scene,
+                 episodes, tables):
             carry2, bundle = self._rollout_phase(
                 params, carry, scene, episodes, tables
             )
             params, opt_state, metrics = self._update_phase(
-                params, opt_state, bundle, rng, clip, axis_name
+                params, opt_state, bundle, rng, clip, axis_name, ent_coef
             )
             return params, opt_state, carry2, metrics
 

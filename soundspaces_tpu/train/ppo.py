@@ -54,6 +54,13 @@ class PPOConfig:
     exp_decay_lambda: float = 1.0
     use_clipped_value_loss: bool = True
     reward_window_size: int = 50
+    # Linear entropy-coefficient annealing entropy_coef -> final_entropy_coef
+    # over num_updates. The reference trains with a fixed coefficient
+    # (0.02-0.25 depending on recipe, av_nav/ppo/ppo.py:47); on long-horizon
+    # worlds a high initial coefficient aids exploration but its entropy
+    # floor caps final success/SPL — annealing gives both.
+    use_linear_entropy_decay: bool = False
+    final_entropy_coef: float = 0.02
 
 
 def make_lr_schedule(ppo: "PPOConfig", num_updates: int):
@@ -125,8 +132,10 @@ def ppo_loss(
     returns: jax.Array,
     clip_param: jax.Array,
     cfg: PPOConfig,
+    entropy_coef: jax.Array | None = None,
 ):
-    """Reference loss terms (av_nav/ppo/ppo.py:99-135)."""
+    """Reference loss terms (av_nav/ppo/ppo.py:99-135). `entropy_coef`
+    optionally overrides cfg.entropy_coef with a traced scalar (annealing)."""
     log_probs, entropy, values, _ = evaluate_actions(
         params, obs, initial_hidden, masks, actions
     )
@@ -147,10 +156,11 @@ def ppo_loss(
         value_loss = 0.5 * ((returns - values) ** 2).mean()
 
     entropy_mean = entropy.mean()
+    ent_coef = cfg.entropy_coef if entropy_coef is None else entropy_coef
     total = (
         action_loss
         + cfg.value_loss_coef * value_loss
-        - cfg.entropy_coef * entropy_mean
+        - ent_coef * entropy_mean
     )
     return total, {
         "action_loss": action_loss,
@@ -183,6 +193,7 @@ def ppo_update(
     cfg: PPOConfig,
     clip_param: jax.Array,
     axis_name: str | None = None,
+    entropy_coef: jax.Array | None = None,
 ):
     """ppo_epoch x num_mini_batch recurrent updates (av_nav/ppo/ppo.py:60-157).
     Minibatches split the env axis under a fresh permutation per epoch; grads
@@ -221,6 +232,7 @@ def ppo_update(
             take(returns),
             clip_param,
             cfg,
+            entropy_coef,
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

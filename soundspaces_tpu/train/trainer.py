@@ -134,11 +134,13 @@ class PPOTrainer:
 
     def make_train_step(self, axis_name: str | None = None) -> Callable:
         """One full PPO update as a pure function
-        (params, opt_state, carry, rng, clip_param, scene, episodes) ->
+        (params, opt_state, carry, rng, clip_param, ent_coef, scene,
+        episodes) ->
         (params, opt_state, carry, metrics). The banks are explicit args —
         never jit constants (see env/audionav.py design note)."""
 
-        def step(params, opt_state, carry, rng, clip_param, scene, episodes):
+        def step(params, opt_state, carry, rng, clip_param, ent_coef, scene,
+                 episodes):
             carry, rollout = collect_rollout(
                 self._policy_act, params, self.env, scene, episodes, carry,
                 self.ppo.num_steps, norm_axis=axis_name,
@@ -153,6 +155,7 @@ class PPOTrainer:
                 self.ppo,
                 clip_param,
                 axis_name=axis_name,
+                entropy_coef=ent_coef,
             )
             done_f = rollout.dones.astype(jnp.float32)
             n_done = jnp.maximum(done_f.sum(), 1.0)
@@ -183,10 +186,10 @@ class PPOTrainer:
                 self.ppo.num_steps,
             )
 
-        def update_fn(params, opt_state, rollout, rng, clip):
+        def update_fn(params, opt_state, rollout, rng, clip, ent):
             params, opt_state, losses = ppo_update(
                 params, opt_state, self.optimizer, self._policy_evaluate,
-                rollout, rng, self.ppo, clip,
+                rollout, rng, self.ppo, clip, entropy_coef=ent,
             )
             done_f = rollout.dones.astype(jnp.float32)
             n_done = jnp.maximum(done_f.sum(), 1.0)
@@ -268,6 +271,12 @@ class PPOTrainer:
             rng, key = jax.random.split(rng)
             frac = 1.0 - update / cfg.num_updates
             clip = ppo.clip_param * (frac if ppo.use_linear_clip_decay else 1.0)
+            ent = (
+                ppo.final_entropy_coef
+                + (ppo.entropy_coef - ppo.final_entropy_coef) * frac
+                if ppo.use_linear_entropy_decay
+                else ppo.entropy_coef
+            )
             if profile:
                 # env_time ~= rollout phase (sim + act fused on device);
                 # pth_time ~= PPO update phase
@@ -278,12 +287,12 @@ class PPOTrainer:
                 with timers.phase("pth_time"):
                     params, opt_state, metrics = jax.block_until_ready(
                         update_fn(params, opt_state, rollout, key,
-                                  jnp.float32(clip))
+                                  jnp.float32(clip), jnp.float32(ent))
                     )
             else:
                 params, opt_state, carry, metrics = step_fn(
                     params, opt_state, carry, key, jnp.float32(clip),
-                    *self._bank_args(),
+                    jnp.float32(ent), *self._bank_args(),
                 )
             if (update + 1) % cfg.log_interval == 0 or update == num_updates - 1:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}

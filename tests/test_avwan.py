@@ -200,7 +200,7 @@ def test_avwan_trainer_step(wp_world):
     step = jax.jit(trainer.make_train_step())
     p2, o2, carry2, metrics = step(
         params, opt_state, carry, jax.random.PRNGKey(1), jnp.float32(0.1),
-        env.base.scene, env.base.episodes, env.tables(),
+        jnp.float32(0.2), env.base.scene, env.base.episodes, env.tables(),
     )
     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
     for k in ("action_loss", "value_loss", "entropy", "reward"):

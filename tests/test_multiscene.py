@@ -74,7 +74,7 @@ def test_multiscene_sharded_training_step():
     )
     p2, o2, carry2, metrics = step(
         params, opt_state, carry, jax.random.PRNGKey(1), jnp.float32(0.1),
-        scene, episodes,
+        jnp.float32(0.2), scene, episodes,
     )
     m = jax.device_get(metrics)
     assert all(np.isfinite(v) for v in m.values()), m
@@ -163,7 +163,7 @@ def test_multiscene_env_trainer_step():
     step = jax.jit(trainer.make_train_step())
     p2, o2, carry2, metrics = step(
         params, opt_state, carry, jax.random.PRNGKey(2), jnp.float32(0.1),
-        env.scene, env.episodes,
+        jnp.float32(0.2), env.scene, env.episodes,
     )
     m = jax.device_get(metrics)
     assert np.isfinite(m["value_loss"]) and np.isfinite(m["reward"])
@@ -227,7 +227,7 @@ def test_multiscene_k_scenes_per_shard():
     ))
     params, opt_state, carry, metrics = step(
         params, opt_state, carry, jax.random.PRNGKey(4), jnp.float32(0.1),
-        scene, episodes,
+        jnp.float32(0.2), scene, episodes,
     )
     m = jax.device_get(metrics)
     assert np.isfinite(m["value_loss"]) and np.isfinite(m["reward"])

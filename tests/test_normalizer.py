@@ -98,7 +98,7 @@ def test_trainer_updates_then_freezes_stats(tmp_path):
     assert float(carry.norm_stats.count) == 0.0
     step = jax.jit(trainer.make_train_step())
     p, o, carry1, _ = step(params, opt_state, carry, jax.random.PRNGKey(1),
-                           jnp.float32(0.1), scene, eps)
+                           jnp.float32(0.1), jnp.float32(0.2), scene, eps)
     # 4 steps x 4 envs folded in
     assert float(carry1.norm_stats.count) == 16.0
     p, o, carry2, _ = step(p, o, carry1, jax.random.PRNGKey(2),

@@ -57,7 +57,7 @@ def test_dp_train_step_runs_and_replicates(dp_setup):
     )
     p2, o2, carry2, metrics = step(
         params, opt_state, carry, jax.random.PRNGKey(1), jnp.float32(0.1),
-        trainer.env.scene, trainer.env.episodes,
+        jnp.float32(0.2), trainer.env.scene, trainer.env.episodes,
     )
     m = jax.device_get(metrics)
     assert all(np.isfinite(v) for v in m.values())

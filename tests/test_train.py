@@ -99,7 +99,7 @@ def test_train_step_updates_params_and_runs(small_world):
     step = jax.jit(tr.make_train_step())
     p2, o2, carry2, metrics = step(
         params, opt_state, carry, jax.random.PRNGKey(2), jnp.float32(0.1),
-        env.scene, env.episodes,
+        jnp.float32(0.2), env.scene, env.episodes,
     )
     # params changed
     diff = jax.tree.reduce(
