@@ -11,25 +11,47 @@
 // Model (2.5-D, matched to the platform's grid scenes):
 //  - scene geometry = walkable-cell occupancy grid (walls at free->blocked
 //    transitions), ceiling/floor as statistical extra absorption;
+//  - per-CELL material classes: an optional uint8 material-id grid indexes
+//    a table of (absorption[4], scattering, transmission[4]) coefficients —
+//    the role of the reference's per-category material JSON
+//    (scripts/mp3d_acoustic_properties.py:12-414 feeding the tracer via
+//    mp3d_material_config.json);
 //  - direct path: distance delay, 1/r attenuation, Woodworth ITD + sin ILD
 //    per ear, per 90-degree heading;
 //  - early + late field: energy rays marched from the source through the
 //    grid (DDA), specular reflection with per-band absorption and
 //    scattering jitter at wall hits; energy deposited when a ray passes
 //    within the receiver radius, at time = path_length / c;
+//  - TRANSMISSION (the reference default-enables it,
+//    continuous_simulator.py:125 `acousticsConfig.transmission = True`):
+//    at a wall hit the surviving (1-a) energy splits t : (1-t) between a
+//    ray continuing straight through the occluder and the specular
+//    reflection, resolved by unbiased Russian roulette on mean(t);
+//  - first-order edge DIFFRACTION: convex occupancy corners are diffracting
+//    edges; for shadowed (source, receiver) pairs every corner with clear
+//    line-of-sight legs contributes a delayed arrival attenuated by an
+//    exponential-in-deflection-angle shadow factor, stronger at high bands
+//    (the UTD shadow-zone shape the reference engine models);
 //  - per-band energy envelopes -> pressure via sqrt(E) * band-filtered
-//    noise with deterministic per-(source,receiver) phase.
+//    noise with deterministic per-(source,receiver) phase;
+//  - AMBISONICS channel layout (SoundSpaces2.md ChannelLayoutType table):
+//    rays accumulate direction-weighted energy; synthesis emits ACN/SN3D
+//    spherical-harmonic IRs (order 1 or 2) whose W/X/Y envelopes follow the
+//    per-sample intensity direction — decoded to binaural by
+//    tools/ambisonic.py (the AmbisonicBinauralizer path).
 //
 // Parallelism: a std::thread pool over receivers (the reference binauralizes
 // with 160 host threads, scripts/ambisonic_to_binaural.py:43).
 //
-// C ABI (ctypes): synth_rir_bank(...) fills [4, n_nodes, n_sources, 2, len].
+// C ABI (ctypes): synth_rir_bank(...) fills [4, n_nodes, n_sources, 2, len];
+// synth_ambisonic_bank(...) fills [n_nodes, n_sources, (order+1)^2, len].
 
 #include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <random>
 #include <thread>
 #include <vector>
@@ -38,6 +60,15 @@ namespace {
 
 constexpr float kSpeedOfSound = 343.0f;
 constexpr int kNumBands = 4;  // matches the reference tracer's 4 bands
+constexpr int kMaxDiffractionPaths = 4;
+constexpr int kMaxTransmissionMarch = 256;  // wall-interior steps before kill
+
+struct Material {
+  float absorption[kNumBands];
+  float scattering;
+  float transmission[kNumBands];
+  float t_mean;  // mean(transmission), the roulette probability
+};
 
 struct Config {
   int sampling_rate;
@@ -46,14 +77,20 @@ struct Config {
   int max_bounces;
   float grid_size;       // meters per occupancy cell
   float receiver_radius; // meters
-  float absorption[kNumBands]; // wall absorption per band
-  float scattering;      // fraction of diffuse reflection
   float air_absorption;  // per-meter broadband loss
+  float ema_a;           // envelope shot-noise smoother, fixed 5 ms in TIME
+                         // (a per-sample constant would floor the decay
+                         // rate at low sampling rates and corrupt RT60)
   uint64_t seed;
+  bool enable_transmission;
+  bool enable_diffraction;
+  const Material* materials;  // [n_materials]
+  int n_materials;
 };
 
 struct Grid {
-  const uint8_t* occ; // [h][w], 1 = walkable
+  const uint8_t* occ;  // [h][w], 1 = walkable
+  const uint8_t* mat;  // [h][w] material ids, may be null (-> material 0)
   int h, w;
   bool walkable(int gz, int gx) const {
     if (gz < 0 || gz >= h || gx < 0 || gx >= w) return false;
@@ -66,12 +103,40 @@ struct Grid {
     // direct path in continuous-pose tracing
     return walkable((int)std::lround(z / cell), (int)std::lround(x / cell));
   }
+  int material_at(float x, float z, float cell, int n_mat) const {
+    if (!mat) return 0;
+    int gz = (int)std::lround(z / cell), gx = (int)std::lround(x / cell);
+    if (gz < 0 || gz >= h || gx < 0 || gx >= w) return 0;
+    int m = mat[gz * w + gx];
+    return m < n_mat ? m : 0;
+  }
 };
 
 struct BandEnergy {
-  std::vector<float> e[kNumBands]; // energy per output sample
-  explicit BandEnergy(int len) {
+  std::vector<float> e[kNumBands];  // energy per output sample
+  // broadband direction-of-arrival accumulators (for ambisonic synthesis):
+  // ex/ey sum energy * unit-DOA so ex/etot is the per-sample mean direction.
+  std::vector<float> ex, ey, etot;
+  bool directional;
+  explicit BandEnergy(int len, bool dir = false) : directional(dir) {
     for (auto& v : e) v.assign(len, 0.0f);
+    if (dir) {
+      ex.assign(len, 0.0f);
+      ey.assign(len, 0.0f);
+      etot.assign(len, 0.0f);
+    }
+  }
+  void deposit(int n, const float* band_e, float doax, float doay) {
+    float tot = 0.0f;
+    for (int b = 0; b < kNumBands; ++b) {
+      e[b][n] += band_e[b];
+      tot += band_e[b];
+    }
+    if (directional) {
+      ex[n] += tot * doax;
+      ey[n] += tot * doay;
+      etot[n] += tot;
+    }
   }
 };
 
@@ -107,17 +172,46 @@ bool trace_ray(const Grid& grid, const Config& cfg, float sx, float sz,
   while (path < max_path && bounces <= cfg.max_bounces) {
     float nx = x + dx * step, nz = z + dz * step;
     if (!grid.walkable_at(nx, nz, cfg.grid_size)) {
+      const Material& m =
+          cfg.materials[grid.material_at(nx, nz, cfg.grid_size,
+                                         cfg.n_materials)];
+      // transmission roulette: the surviving (1-a) energy splits
+      // t : (1-t) between the through-wall ray and the reflection;
+      // choosing one branch with p = mean(t) and reweighting keeps the
+      // estimator unbiased per band.
+      if (cfg.enable_transmission && m.t_mean > 0.0f &&
+          rng.uniform() < m.t_mean) {
+        for (int b = 0; b < kNumBands; ++b)
+          energy[b] *= (1.0f - m.absorption[b]) * m.transmission[b] / m.t_mean;
+        // march straight through the occluder until free space again
+        int guard = 0;
+        while (!grid.walkable_at(nx, nz, cfg.grid_size)) {
+          nx += dx * step; nz += dz * step; path += step;
+          if (++guard >= kMaxTransmissionMarch || path >= max_path)
+            return deposited;  // absorbed inside a thick wall
+        }
+        x = nx; z = nz; path += step;
+        ++bounces;
+        continue;
+      }
       // wall hit: reflect about the blocked axis, apply absorption/scatter
       bool bx = !grid.walkable_at(nx, z, cfg.grid_size);
       bool bz = !grid.walkable_at(x, nz, cfg.grid_size);
       if (bx || !bz) dx = -dx;
       if (bz || !bx) dz = -dz;
-      if (rng.uniform() < cfg.scattering) {
+      if (rng.uniform() < m.scattering) {
         float ang = rng.range(0.0f, 6.2831853f);
         dx = std::cos(ang); dz = std::sin(ang);
       }
-      for (int b = 0; b < kNumBands; ++b)
-        energy[b] *= (1.0f - cfg.absorption[b]);
+      float refl = 1.0f;
+      if (cfg.enable_transmission && m.t_mean > 0.0f)
+        refl = 1.0f / (1.0f - m.t_mean);  // roulette reweight
+      for (int b = 0; b < kNumBands; ++b) {
+        float keep = (1.0f - m.absorption[b]);
+        if (cfg.enable_transmission)
+          keep *= (1.0f - m.transmission[b]) * refl;
+        energy[b] *= keep;
+      }
       ++bounces;
       continue;
     }
@@ -129,8 +223,9 @@ bool trace_ray(const Grid& grid, const Config& cfg, float sx, float sz,
       int n = (int)(t * cfg.sampling_rate);
       if (n >= 0 && n < cfg.rir_len) {
         float air = std::exp(-cfg.air_absorption * path);
-        for (int b = 0; b < kNumBands; ++b)
-          out.e[b][n] += energy[b] * air;
+        float dep[kNumBands];
+        for (int b = 0; b < kNumBands; ++b) dep[b] = energy[b] * air;
+        out.deposit(n, dep, -dx, -dz);  // DOA points back along the ray
         deposited = true;
       }
     }
@@ -149,6 +244,84 @@ bool direct_path_clear(const Grid& grid, const Config& cfg, float rx,
       return false;
   }
   return true;
+}
+
+// ------------------------------------------------------------- diffraction
+
+struct Corner {
+  float x, z;  // nudged slightly into free space off the convex edge
+};
+
+// Convex corners of the blocked regions: occupancy-lattice points where
+// exactly one of the four adjacent cells is non-walkable. These are the
+// diffracting edges of the 2.5-D scene.
+std::vector<Corner> find_corners(const Grid& grid, float cell) {
+  std::vector<Corner> out;
+  for (int jz = -1; jz < grid.h; ++jz) {
+    for (int jx = -1; jx < grid.w; ++jx) {
+      int blocked = 0, bz = 0, bx = 0;
+      for (int dz = 0; dz < 2; ++dz)
+        for (int dx = 0; dx < 2; ++dx)
+          if (!grid.walkable(jz + dz, jx + dx)) {
+            ++blocked; bz = jz + dz; bx = jx + dx;
+          }
+      if (blocked != 1) continue;
+      float cx = (jx + 0.5f) * cell, cz = (jz + 0.5f) * cell;
+      // nudge away from the blocked cell's center so LoS legs don't graze it
+      float ox = cx - bx * cell, oz = cz - bz * cell;
+      float n = std::sqrt(ox * ox + oz * oz) + 1e-9f;
+      out.push_back({cx + ox / n * cell * 0.3f, cz + oz / n * cell * 0.3f});
+    }
+  }
+  return out;
+}
+
+// First-order shadow-zone diffraction: for an occluded (source, receiver)
+// pair, each convex corner with clear legs contributes energy at
+// t = (|s-c| + |c-r|)/c, attenuated exponentially in the deflection angle
+// and more steeply at high frequencies (low bands bend around edges). The
+// kMaxDiffractionPaths strongest corners are kept.
+void add_diffraction(const Grid& grid, const Config& cfg,
+                     const std::vector<Corner>& corners, float sx, float sz,
+                     float rx, float rz, BandEnergy& acc) {
+  struct Cand {
+    float e0;       // broadband energy score for ranking
+    float d1, d2, theta, doax, doay;
+  };
+  std::vector<Cand> cands;
+  for (const Corner& c : corners) {
+    float d1x = c.x - sx, d1z = c.z - sz;
+    float d2x = rx - c.x, d2z = rz - c.z;
+    float d1 = std::sqrt(d1x * d1x + d1z * d1z);
+    float d2 = std::sqrt(d2x * d2x + d2z * d2z);
+    if (d1 < 1e-4f || d2 < 1e-4f) continue;
+    if (!direct_path_clear(grid, cfg, sx, sz, c.x, c.z)) continue;
+    if (!direct_path_clear(grid, cfg, c.x, c.z, rx, rz)) continue;
+    float dot = (d1x * d2x + d1z * d2z) / (d1 * d2);
+    dot = std::max(-1.0f, std::min(1.0f, dot));
+    float theta = std::acos(dot);  // deflection into the shadow, [0, pi]
+    float amp = 1.0f / (d1 + d2) * std::exp(-theta);
+    cands.push_back({amp * amp, d1, d2, theta, -d2x / d2, -d2z / d2});
+  }
+  if (cands.empty()) return;
+  std::sort(cands.begin(), cands.end(),
+            [](const Cand& a, const Cand& b) { return a.e0 > b.e0; });
+  if ((int)cands.size() > kMaxDiffractionPaths)
+    cands.resize(kMaxDiffractionPaths);
+  // per-band shadow steepness: high bands hug the edge (diffract less)
+  static const float kBandSteep[kNumBands] = {0.7f, 1.1f, 1.8f, 2.8f};
+  for (const Cand& cd : cands) {
+    float t = (cd.d1 + cd.d2) / kSpeedOfSound;
+    int n = (int)(t * cfg.sampling_rate);
+    if (n < 0 || n >= cfg.rir_len) continue;
+    float air = std::exp(-cfg.air_absorption * (cd.d1 + cd.d2));
+    float dep[kNumBands];
+    for (int b = 0; b < kNumBands; ++b) {
+      float a = std::exp(-kBandSteep[b] * cd.theta) / (cd.d1 + cd.d2);
+      dep[b] = a * a * air;
+    }
+    acc.deposit(n, dep, cd.doax, cd.doay);
+  }
 }
 
 // Band-limited noise carrier: deterministic white noise shaped by a cheap
@@ -176,9 +349,35 @@ void band_noise(int band, int len, int sampling_rate, uint64_t seed,
   for (float& v : out) v *= g;
 }
 
-void synth_one(const Grid& grid, const Config& cfg, const float* points,
+// Shared scene context for one synthesis job.
+struct SceneCtx {
+  Grid grid;
+  std::vector<Corner> corners;  // empty unless diffraction enabled
+};
+
+void stochastic_field(const SceneCtx& sc, const Config& cfg, float sx,
+                      float sz, float rx, float rz, uint64_t salt,
+                      BandEnergy& acc) {
+  for (int r = 0; r < cfg.num_rays; ++r) {
+    // independent per-ray stream: rays are order-independent and a ray's
+    // trajectory is unaffected by what other rays hit (keeps the field
+    // identical across scenes until a ray itself reaches differing
+    // geometry — the property the image-source causality test pins down)
+    XorShift ray_rng(cfg.seed ^ salt ^
+                     (0x9e3779b97f4a7c15ull * (uint64_t)(r + 1)));
+    float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
+    trace_ray(sc.grid, cfg, sx, sz, rx, rz, std::cos(ang), std::sin(ang),
+              ray_rng, acc);
+  }
+  if (cfg.enable_diffraction &&
+      !direct_path_clear(sc.grid, cfg, rx, rz, sx, sz))
+    add_diffraction(sc.grid, cfg, sc.corners, sx, sz, rx, rz, acc);
+}
+
+void synth_one(const SceneCtx& sc, const Config& cfg, const float* points,
                int n_nodes, int receiver, const int32_t* sources,
                int n_sources, float* out /* [4][n_sources][2][len] */) {
+  const Grid& grid = sc.grid;
   const float rx = points[receiver * 3 + 0];
   const float rz = points[receiver * 3 + 2];
   const int len = cfg.rir_len;
@@ -192,19 +391,15 @@ void synth_one(const Grid& grid, const Config& cfg, const float* points,
     const float sz = points[src * 3 + 2];
 
     BandEnergy acc(len);
-    XorShift ray_rng(cfg.seed ^ (uint64_t)(receiver * 73856093 + src * 19349663));
-    for (int r = 0; r < cfg.num_rays; ++r) {
-      float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
-      trace_ray(grid, cfg, sx, sz, rx, rz, std::cos(ang), std::sin(ang),
-                ray_rng, acc);
-    }
+    stochastic_field(sc, cfg, sx, sz, rx, rz,
+                     (uint64_t)(receiver * 73856093 + src * 19349663), acc);
 
     // diffuse pressure tail = sum over bands of sqrt(smoothed energy)*noise
     std::vector<float> diffuse(len, 0.0f);
     for (int b = 0; b < kNumBands; ++b) {
       // short moving average smooths ray shot noise
       float ema = 0.0f;
-      const float a = 0.995f;
+      const float a = cfg.ema_a;
       for (int n = 0; n < len; ++n) {
         ema = a * ema + (1 - a) * acc.e[b][n];
         envelope[n] = std::sqrt(std::max(ema, 0.0f));
@@ -219,16 +414,7 @@ void synth_one(const Grid& grid, const Config& cfg, const float* points,
     const float dist = std::max(std::sqrt(ddx * ddx + ddz * ddz),
                                 cfg.grid_size * 0.5f);
     const float src_dir = std::atan2(ddz, ddx);
-    const bool occluded = [&] {
-      // simple LoS check
-      int steps = (int)(dist / (cfg.grid_size * 0.25f));
-      for (int i = 1; i < steps; ++i) {
-        float t = (float)i / steps;
-        if (!grid.walkable_at(rx + ddx * t, rz + ddz * t, cfg.grid_size))
-          return true;
-      }
-      return false;
-    }();
+    const bool occluded = !direct_path_clear(grid, cfg, rx, rz, sx, sz);
 
     for (int ai = 0; ai < 4; ++ai) {
       // azimuth index ai corresponds to rotation -90*ai (simulator.py:568-573);
@@ -259,9 +445,10 @@ void synth_one(const Grid& grid, const Config& cfg, const float* points,
 // source position — the per-step SS2.0 path (the reference re-renders a
 // fresh RIR each step, continuous_simulator.py:370-426). Binaural uses the
 // CONTINUOUS heading rather than the bank's four quantized azimuths.
-void trace_one_pose(const Grid& grid, const Config& cfg, float rx, float rz,
+void trace_one_pose(const SceneCtx& sc, const Config& cfg, float rx, float rz,
                     float heading, float sx, float sz,
                     float* out /* [2][len] */) {
+  const Grid& grid = sc.grid;
   const int len = cfg.rir_len;
 
   BandEnergy acc(len);
@@ -270,19 +457,14 @@ void trace_one_pose(const Grid& grid, const Config& cfg, float rx, float rz,
       (uint64_t)(int64_t)std::lround(rz * 512.0f) * 19349663ull ^
       (uint64_t)(int64_t)std::lround(sx * 512.0f) * 83492791ull ^
       (uint64_t)(int64_t)std::lround(sz * 512.0f);
-  XorShift ray_rng(cfg.seed ^ pose_salt);
-  for (int r = 0; r < cfg.num_rays; ++r) {
-    float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
-    trace_ray(grid, cfg, sx, sz, rx, rz, std::cos(ang), std::sin(ang),
-              ray_rng, acc);
-  }
+  stochastic_field(sc, cfg, sx, sz, rx, rz, pose_salt, acc);
 
   std::vector<float> carrier;
   std::vector<float> envelope(len);
   std::vector<float> diffuse(len, 0.0f);
   for (int b = 0; b < kNumBands; ++b) {
     float ema = 0.0f;
-    const float a = 0.995f;
+    const float a = cfg.ema_a;
     for (int n = 0; n < len; ++n) {
       ema = a * ema + (1 - a) * acc.e[b][n];
       envelope[n] = std::sqrt(std::max(ema, 0.0f));
@@ -314,13 +496,256 @@ void trace_one_pose(const Grid& grid, const Config& cfg, float rx, float rz,
   }
 }
 
+// -------------------------------------------------------------- ambisonics
+
+// Real spherical harmonics, ACN channel order, SN3D normalization, at
+// elevation 0 (the 2.5-D field lives in the horizontal plane):
+//   order 0: W = 1
+//   order 1: Y = sin(az), Z = 0, X = cos(az)
+//   order 2: V = (sqrt3/2) sin 2az, T = 0, R = -1/2, S = 0,
+//            U = (sqrt3/2) cos 2az
+// `r` in [0, 1] scales the directional channels (0 = fully diffuse field).
+inline void sh_gains(float cosaz, float sinaz, float r, int order,
+                     float* g /* [(order+1)^2] */) {
+  g[0] = 1.0f;
+  if (order >= 1) {
+    g[1] = r * sinaz;
+    g[2] = 0.0f;
+    g[3] = r * cosaz;
+  }
+  if (order >= 2) {
+    float s2 = 2.0f * cosaz * sinaz;
+    float c2 = cosaz * cosaz - sinaz * sinaz;
+    g[4] = r * 0.8660254f * s2;
+    g[5] = 0.0f;
+    g[6] = -0.5f;  // horizontal confinement signature, az-independent
+    g[7] = 0.0f;
+    g[8] = r * 0.8660254f * c2;
+  }
+}
+
+// One ambisonic RIR [(order+1)^2][len] for (receiver node, source node):
+// SIRR-style synthesis — the W envelope is sqrt(total band energy), the
+// directional channels follow the per-sample intensity direction scaled by
+// the directionality ratio |sum E*doa| / sum E, all sharing the band noise
+// carrier so the channels stay coherent for matrix decoding.
+void synth_ambisonic_one(const SceneCtx& sc, const Config& cfg,
+                         const float* points, int receiver,
+                         const int32_t* sources, int n_sources, int order,
+                         float* out /* [n_sources][n_sh][len] */) {
+  const int n_sh = (order + 1) * (order + 1);
+  const float rx = points[receiver * 3 + 0];
+  const float rz = points[receiver * 3 + 2];
+  const int len = cfg.rir_len;
+
+  std::vector<float> carrier;
+  std::vector<float> wenv(len), dirx(len), diry(len), dirr(len);
+  float g[9];
+
+  for (int si = 0; si < n_sources; ++si) {
+    const int src = sources[si];
+    const float sx = points[src * 3 + 0];
+    const float sz = points[src * 3 + 2];
+
+    BandEnergy acc(len, /*directional=*/true);
+    stochastic_field(sc, cfg, sx, sz, rx, rz,
+                     (uint64_t)(receiver * 73856093 + src * 19349663), acc);
+
+    // per-sample smoothed mean DOA + directionality ratio
+    const float a = cfg.ema_a;
+    float emx = 0.0f, emy = 0.0f, emt = 0.0f;
+    for (int n = 0; n < len; ++n) {
+      emx = a * emx + (1 - a) * acc.ex[n];
+      emy = a * emy + (1 - a) * acc.ey[n];
+      emt = a * emt + (1 - a) * acc.etot[n];
+      float mag = std::sqrt(emx * emx + emy * emy);
+      if (emt > 1e-20f && mag > 1e-20f) {
+        dirx[n] = emx / mag;
+        diry[n] = emy / mag;
+        dirr[n] = std::min(mag / emt, 1.0f);
+      } else {
+        dirx[n] = 1.0f; diry[n] = 0.0f; dirr[n] = 0.0f;
+      }
+    }
+
+    float* dst0 = out + (size_t)si * n_sh * len;
+    std::memset(dst0, 0, sizeof(float) * (size_t)n_sh * len);
+
+    for (int b = 0; b < kNumBands; ++b) {
+      float ema = 0.0f;
+      for (int n = 0; n < len; ++n) {
+        ema = a * ema + (1 - a) * acc.e[b][n];
+        wenv[n] = std::sqrt(std::max(ema, 0.0f));
+      }
+      band_noise(b, len, cfg.sampling_rate,
+                 cfg.seed ^ (uint64_t)(receiver * 31 + src * 7 + b), carrier);
+      for (int n = 0; n < len; ++n) {
+        const float p = wenv[n] * carrier[n];
+        sh_gains(dirx[n], diry[n], dirr[n], order, g);
+        for (int c = 0; c < n_sh; ++c) dst0[(size_t)c * len + n] += p * g[c];
+      }
+    }
+
+    // direct path: exact SH encoding of the arrival direction
+    const float ddx = sx - rx, ddz = sz - rz;
+    const float dist =
+        std::max(std::sqrt(ddx * ddx + ddz * ddz), cfg.grid_size * 0.5f);
+    if (direct_path_clear(sc.grid, cfg, rx, rz, sx, sz)) {
+      const int n0 =
+          (int)std::lround(dist / kSpeedOfSound * cfg.sampling_rate);
+      if (n0 >= 0 && n0 < len) {
+        sh_gains(ddx / dist, ddz / dist, 1.0f, order, g);
+        for (int c = 0; c < n_sh; ++c)
+          dst0[(size_t)c * len + n0] += g[c] / dist;
+      }
+    }
+  }
+}
+
+Config make_config(int sampling_rate, int rir_len, int num_rays,
+                   int max_bounces, float grid_size, float air_absorption,
+                   uint64_t seed, const Material* materials, int n_materials,
+                   bool transmission, bool diffraction) {
+  Config cfg;
+  cfg.sampling_rate = sampling_rate;
+  cfg.rir_len = rir_len;
+  cfg.num_rays = std::max(num_rays, 1);
+  cfg.max_bounces = max_bounces;
+  cfg.grid_size = grid_size;
+  cfg.receiver_radius = grid_size * 0.6f;
+  cfg.air_absorption = air_absorption;
+  cfg.ema_a = std::exp(-1.0f / (0.005f * sampling_rate));
+  cfg.seed = seed;
+  cfg.enable_transmission = transmission;
+  cfg.enable_diffraction = diffraction;
+  cfg.materials = materials;
+  cfg.n_materials = n_materials;
+  return cfg;
+}
+
+// materials_flat: [n_mat][9] = absorption[4], scattering, transmission[4]
+std::vector<Material> unpack_materials(const float* flat, int n_mat) {
+  std::vector<Material> out(std::max(n_mat, 1));
+  for (int i = 0; i < n_mat; ++i) {
+    Material& m = out[i];
+    for (int b = 0; b < kNumBands; ++b) m.absorption[b] = flat[i * 9 + b];
+    m.scattering = flat[i * 9 + 4];
+    float t_mean = 0.0f;
+    for (int b = 0; b < kNumBands; ++b) {
+      m.transmission[b] = flat[i * 9 + 5 + b];
+      t_mean += m.transmission[b];
+    }
+    m.t_mean = t_mean / kNumBands;
+  }
+  return out;
+}
+
+SceneCtx make_scene(const uint8_t* occ, const uint8_t* mat_id, int h, int w,
+                    float grid_size, bool diffraction) {
+  SceneCtx sc;
+  sc.grid = Grid{occ, mat_id, h, w};
+  if (diffraction) sc.corners = find_corners(sc.grid, grid_size);
+  return sc;
+}
+
+void run_pool(int n_items, int num_threads,
+              const std::function<void(int)>& fn) {
+  std::atomic<int> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_items) return;
+      fn(i);
+    }
+  };
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  nt = std::max(1, std::min(nt, n_items));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
 }  // namespace
 
 extern "C" {
 
 // out: float32 [4, n_nodes, n_sources, 2, rir_len]
 // points: float32 [n_nodes, 3]; occupancy: uint8 [grid_h, grid_w]
-// absorption: float32 [4]
+// mat_id: uint8 [grid_h, grid_w] or null (all cells -> material 0)
+// materials: float32 [n_materials, 9] = absorption[4], scattering,
+//            transmission[4]
+int synth_rir_bank_v2(const float* points, int n_nodes,
+                      const int32_t* sources, int n_sources,
+                      const uint8_t* occupancy, const uint8_t* mat_id,
+                      int grid_h, int grid_w, float grid_size,
+                      int sampling_rate, int rir_len, int num_rays,
+                      int max_bounces, const float* materials,
+                      int n_materials, float air_absorption,
+                      int enable_transmission, int enable_diffraction,
+                      uint64_t seed, int num_threads, float* out) {
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  SceneCtx sc = make_scene(occupancy, mat_id, grid_h, grid_w, grid_size,
+                           cfg.enable_diffraction);
+  const size_t per_receiver = (size_t)4 * n_sources * 2 * rir_len;
+  std::memset(out, 0, sizeof(float) * per_receiver * n_nodes);
+
+  run_pool(n_nodes, num_threads, [&](int r) {
+    // per-receiver view: out is [4, n_nodes, n_sources, 2, len]; the
+    // per-receiver slice is strided over the leading azimuth axis, so
+    // synth_one writes into a compact scratch then scatters.
+    std::vector<float> scratch(per_receiver);
+    synth_one(sc, cfg, points, n_nodes, r, sources, n_sources,
+              scratch.data());
+    for (int ai = 0; ai < 4; ++ai) {
+      float* dst =
+          out + (((size_t)ai * n_nodes + r) * n_sources) * 2 * rir_len;
+      const float* src =
+          scratch.data() + ((size_t)ai * n_sources) * 2 * rir_len;
+      std::memcpy(dst, src, sizeof(float) * (size_t)n_sources * 2 * rir_len);
+    }
+  });
+  return 0;
+}
+
+// Ambisonic bank: out float32 [n_nodes, n_sources, (order+1)^2, rir_len],
+// ACN/SN3D channel order — tools/ambisonic.py::decode_rir_bank turns it
+// into the 4-heading binaural bank (the reference's AmbisonicBinauralizer
+// batch job, scripts/ambisonic_to_binaural.py).
+int synth_ambisonic_bank(const float* points, int n_nodes,
+                         const int32_t* sources, int n_sources,
+                         const uint8_t* occupancy, const uint8_t* mat_id,
+                         int grid_h, int grid_w, float grid_size,
+                         int sampling_rate, int rir_len, int num_rays,
+                         int max_bounces, const float* materials,
+                         int n_materials, float air_absorption,
+                         int enable_transmission, int enable_diffraction,
+                         int ambisonic_order, uint64_t seed, int num_threads,
+                         float* out) {
+  if (ambisonic_order < 1 || ambisonic_order > 2) return -1;
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  SceneCtx sc = make_scene(occupancy, mat_id, grid_h, grid_w, grid_size,
+                           cfg.enable_diffraction);
+  const int n_sh = (ambisonic_order + 1) * (ambisonic_order + 1);
+  run_pool(n_nodes, num_threads, [&](int r) {
+    synth_ambisonic_one(sc, cfg, points, r, sources, n_sources,
+                        ambisonic_order,
+                        out + (size_t)r * n_sources * n_sh * rir_len);
+  });
+  return 0;
+}
+
+// v1 ABI (uniform material, no transmission/diffraction) — kept stable for
+// existing callers; absorption: float32 [4].
 int synth_rir_bank(const float* points, int n_nodes, const int32_t* sources,
                    int n_sources, const uint8_t* occupancy, int grid_h,
                    int grid_w, float grid_size, int sampling_rate,
@@ -328,96 +753,57 @@ int synth_rir_bank(const float* points, int n_nodes, const int32_t* sources,
                    const float* absorption, float scattering,
                    float air_absorption, uint64_t seed, int num_threads,
                    float* out) {
-  Config cfg;
-  cfg.sampling_rate = sampling_rate;
-  cfg.rir_len = rir_len;
-  cfg.num_rays = std::max(num_rays, 1);
-  cfg.max_bounces = max_bounces;
-  cfg.grid_size = grid_size;
-  cfg.receiver_radius = grid_size * 0.6f;
-  for (int b = 0; b < kNumBands; ++b) cfg.absorption[b] = absorption[b];
-  cfg.scattering = scattering;
-  cfg.air_absorption = air_absorption;
-  cfg.seed = seed;
-
-  Grid grid{occupancy, grid_h, grid_w};
-  const size_t per_receiver = (size_t)4 * n_sources * 2 * rir_len;
-  std::memset(out, 0, sizeof(float) * per_receiver * n_nodes);
-
-  std::atomic<int> next{0};
-  auto worker = [&] {
-    for (;;) {
-      int r = next.fetch_add(1);
-      if (r >= n_nodes) return;
-      // per-receiver view: out is [4, n_nodes, n_sources, 2, len]; the
-      // per-receiver slice is strided over the leading azimuth axis, so
-      // synth_one writes into a compact scratch then scatters.
-      std::vector<float> scratch(per_receiver);
-      synth_one(grid, cfg, points, n_nodes, r, sources, n_sources,
-                scratch.data());
-      for (int ai = 0; ai < 4; ++ai) {
-        float* dst = out + (((size_t)ai * n_nodes + r) * n_sources) * 2 * rir_len;
-        const float* src = scratch.data() + ((size_t)ai * n_sources) * 2 * rir_len;
-        std::memcpy(dst, src, sizeof(float) * (size_t)n_sources * 2 * rir_len);
-      }
-    }
-  };
-
-  int nt = num_threads > 0 ? num_threads
-                           : (int)std::thread::hardware_concurrency();
-  nt = std::max(1, std::min(nt, n_nodes));
-  std::vector<std::thread> pool;
-  pool.reserve(nt);
-  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
-  return 0;
+  float flat[9] = {absorption[0], absorption[1], absorption[2],
+                   absorption[3], scattering, 0, 0, 0, 0};
+  return synth_rir_bank_v2(points, n_nodes, sources, n_sources, occupancy,
+                           nullptr, grid_h, grid_w, grid_size, sampling_rate,
+                           rir_len, num_rays, max_bounces, flat, 1,
+                           air_absorption, 0, 0, seed, num_threads, out);
 }
 
 // Per-step batched tracing at continuous poses (SS2.0's fresh-RIR-per-step).
 // recv_xzh: float32 [batch, 3] = (x, z, heading rad); src_xz: [batch, 2];
 // out: float32 [batch, 2, rir_len]. Threaded over the batch.
+int trace_rirs_v2(const float* recv_xzh, int batch, const float* src_xz,
+                  const uint8_t* occupancy, const uint8_t* mat_id,
+                  int grid_h, int grid_w, float grid_size, int sampling_rate,
+                  int rir_len, int num_rays, int max_bounces,
+                  const float* materials, int n_materials,
+                  float air_absorption, int enable_transmission,
+                  int enable_diffraction, uint64_t seed, int num_threads,
+                  float* out) {
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  SceneCtx sc = make_scene(occupancy, mat_id, grid_h, grid_w, grid_size,
+                           cfg.enable_diffraction);
+  run_pool(batch, num_threads, [&](int i) {
+    trace_one_pose(sc, cfg, recv_xzh[i * 3 + 0], recv_xzh[i * 3 + 1],
+                   recv_xzh[i * 3 + 2], src_xz[i * 2 + 0], src_xz[i * 2 + 1],
+                   out + (size_t)i * 2 * rir_len);
+  });
+  return 0;
+}
+
 int trace_rirs(const float* recv_xzh, int batch, const float* src_xz,
                const uint8_t* occupancy, int grid_h, int grid_w,
                float grid_size, int sampling_rate, int rir_len, int num_rays,
                int max_bounces, const float* absorption, float scattering,
                float air_absorption, uint64_t seed, int num_threads,
                float* out) {
-  Config cfg;
-  cfg.sampling_rate = sampling_rate;
-  cfg.rir_len = rir_len;
-  cfg.num_rays = std::max(num_rays, 1);
-  cfg.max_bounces = max_bounces;
-  cfg.grid_size = grid_size;
-  cfg.receiver_radius = grid_size * 0.6f;
-  for (int b = 0; b < kNumBands; ++b) cfg.absorption[b] = absorption[b];
-  cfg.scattering = scattering;
-  cfg.air_absorption = air_absorption;
-  cfg.seed = seed;
-
-  Grid grid{occupancy, grid_h, grid_w};
-  std::atomic<int> next{0};
-  auto worker = [&] {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= batch) return;
-      trace_one_pose(grid, cfg, recv_xzh[i * 3 + 0], recv_xzh[i * 3 + 1],
-                     recv_xzh[i * 3 + 2], src_xz[i * 2 + 0],
-                     src_xz[i * 2 + 1], out + (size_t)i * 2 * rir_len);
-    }
-  };
-  int nt = num_threads > 0 ? num_threads
-                           : (int)std::thread::hardware_concurrency();
-  nt = std::max(1, std::min(nt, batch));
-  std::vector<std::thread> pool;
-  pool.reserve(nt);
-  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
-  return 0;
+  float flat[9] = {absorption[0], absorption[1], absorption[2],
+                   absorption[3], scattering, 0, 0, 0, 0};
+  return trace_rirs_v2(recv_xzh, batch, src_xz, occupancy, nullptr, grid_h,
+                       grid_w, grid_size, sampling_rate, rir_len, num_rays,
+                       max_bounces, flat, 1, air_absorption, 0, 0, seed,
+                       num_threads, out);
 }
 
 // Physical sanity probes — the AudioSensor's sourceIsVisible() /
 // getRayEfficiency() surface (SoundSpaces2 quick tutorial notebook).
-// recv_xz: float32 [batch, 2]; src_xz: [batch, 2];
+// recv_xz: float32 [batch, 2]; src_xz: float32 [batch, 2];
 // out: float32 [batch, 2] = (ray_efficiency in [0,1], source_visible 0/1).
 int ray_stats(const float* recv_xz, int batch, const float* src_xz,
               const uint8_t* occupancy, int grid_h, int grid_w,
@@ -425,46 +811,31 @@ int ray_stats(const float* recv_xz, int batch, const float* src_xz,
               int max_bounces, const float* absorption, float scattering,
               float air_absorption, uint64_t seed, int num_threads,
               float* out) {
-  Config cfg;
-  cfg.sampling_rate = sampling_rate;
-  cfg.rir_len = rir_len;
-  cfg.num_rays = std::max(num_rays, 1);
-  cfg.max_bounces = max_bounces;
-  cfg.grid_size = grid_size;
-  cfg.receiver_radius = grid_size * 0.6f;
-  for (int b = 0; b < kNumBands; ++b) cfg.absorption[b] = absorption[b];
-  cfg.scattering = scattering;
-  cfg.air_absorption = air_absorption;
-  cfg.seed = seed;
-
-  Grid grid{occupancy, grid_h, grid_w};
-  std::atomic<int> next{0};
-  auto worker = [&] {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= batch) return;
-      const float rx = recv_xz[i * 2 + 0], rz = recv_xz[i * 2 + 1];
-      const float sx = src_xz[i * 2 + 0], sz = src_xz[i * 2 + 1];
-      BandEnergy acc(cfg.rir_len);
-      XorShift ray_rng(cfg.seed ^ (uint64_t)(i * 2654435761u + 1));
-      int hit = 0;
-      for (int r = 0; r < cfg.num_rays; ++r) {
-        float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
-        if (trace_ray(grid, cfg, sx, sz, rx, rz, std::cos(ang),
-                      std::sin(ang), ray_rng, acc))
-          ++hit;
-      }
-      out[i * 2 + 0] = (float)hit / cfg.num_rays;
-      out[i * 2 + 1] = direct_path_clear(grid, cfg, rx, rz, sx, sz) ? 1.f : 0.f;
+  float flat[9] = {absorption[0], absorption[1], absorption[2],
+                   absorption[3], scattering, 0, 0, 0, 0};
+  auto mats = unpack_materials(flat, 1);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(), 1,
+                           false, false);
+  Grid grid{occupancy, nullptr, grid_h, grid_w};
+  run_pool(batch, num_threads, [&](int i) {
+    const float rx = recv_xz[i * 2 + 0], rz = recv_xz[i * 2 + 1];
+    const float sx = src_xz[i * 2 + 0], sz = src_xz[i * 2 + 1];
+    BandEnergy acc(cfg.rir_len);
+    const uint64_t salt = (uint64_t)(i * 2654435761u + 1);
+    int hit = 0;
+    for (int r = 0; r < cfg.num_rays; ++r) {
+      XorShift ray_rng(cfg.seed ^ salt ^
+                       (0x9e3779b97f4a7c15ull * (uint64_t)(r + 1)));
+      float ang = 6.2831853f * (r + ray_rng.uniform()) / cfg.num_rays;
+      if (trace_ray(grid, cfg, sx, sz, rx, rz, std::cos(ang), std::sin(ang),
+                    ray_rng, acc))
+        ++hit;
     }
-  };
-  int nt = num_threads > 0 ? num_threads
-                           : (int)std::thread::hardware_concurrency();
-  nt = std::max(1, std::min(nt, batch));
-  std::vector<std::thread> pool;
-  pool.reserve(nt);
-  for (int i = 0; i < nt; ++i) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
+    out[i * 2 + 0] = (float)hit / cfg.num_rays;
+    out[i * 2 + 1] =
+        direct_path_clear(grid, cfg, rx, rz, sx, sz) ? 1.f : 0.f;
+  });
   return 0;
 }
 

@@ -51,6 +51,51 @@ def _load():
     if _lib is None:
         build_native_tracer()
         _lib = ctypes.CDLL(_LIB)
+        _f32p = ctypes.POINTER(ctypes.c_float)
+        _u8p = ctypes.POINTER(ctypes.c_uint8)
+        _lib.synth_rir_bank_v2.restype = ctypes.c_int
+        _lib.synth_rir_bank_v2.argtypes = [
+            _f32p, ctypes.c_int,               # points, n_nodes
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,  # sources
+            _u8p, _u8p, ctypes.c_int, ctypes.c_int,  # occ, mat_id, h, w
+            ctypes.c_float,                    # grid_size
+            ctypes.c_int, ctypes.c_int,        # sampling_rate, rir_len
+            ctypes.c_int, ctypes.c_int,        # num_rays, max_bounces
+            _f32p, ctypes.c_int,               # materials [n,9], n_materials
+            ctypes.c_float,                    # air_absorption
+            ctypes.c_int, ctypes.c_int,        # transmission, diffraction
+            ctypes.c_uint64, ctypes.c_int,     # seed, num_threads
+            _f32p,                             # out
+        ]
+        _lib.synth_ambisonic_bank.restype = ctypes.c_int
+        _lib.synth_ambisonic_bank.argtypes = [
+            _f32p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            _u8p, _u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            _f32p, ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,                      # ambisonic_order
+            ctypes.c_uint64, ctypes.c_int,
+            _f32p,
+        ]
+        _lib.trace_rirs_v2.restype = ctypes.c_int
+        _lib.trace_rirs_v2.argtypes = [
+            _f32p, ctypes.c_int,               # recv_xzh, batch
+            _f32p,                             # src_xz
+            _u8p, _u8p, ctypes.c_int, ctypes.c_int,  # occ, mat_id, h, w
+            ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            _f32p, ctypes.c_int,
+            ctypes.c_float,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int,
+            _f32p,
+        ]
         _lib.synth_rir_bank.restype = ctypes.c_int
         _lib.synth_rir_bank.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,  # points, n_nodes
@@ -104,6 +149,54 @@ def occupancy_from_graph(graph: SceneGraph) -> tuple[np.ndarray, np.ndarray]:
     return occ, np.array([x0, z0], np.float32)
 
 
+def pack_materials(materials) -> np.ndarray:
+    """Material table -> the tracer's flat [n, 9] float32 layout:
+    absorption[4], scattering, transmission[4] per row (the per-category
+    coefficient shape of the reference's material JSON,
+    scripts/mp3d_acoustic_properties.py:12-414). Entries are material names
+    from tools.materials.MATERIAL_COEFFICIENTS or dicts of the same shape."""
+    from soundspaces_tpu.tools.materials import MATERIAL_COEFFICIENTS
+
+    rows = []
+    for m in materials:
+        if isinstance(m, str):
+            m = MATERIAL_COEFFICIENTS[m]
+        absorp = list(m["absorption"])
+        scat = float(m.get("scattering", 0.3))
+        trans = m.get("transmission", 0.0)
+        if np.isscalar(trans):
+            trans = [float(trans)] * 4
+        rows.append(absorp + [scat] + list(trans))
+    return np.asarray(rows, np.float32).reshape(len(rows), 9)
+
+
+def _material_args(
+    absorption, scattering, materials, material_grid, occ
+):
+    """Resolve (materials_flat [n,9], mat_id grid or None) from either the
+    v1 uniform coefficients or an explicit per-cell material assignment."""
+    if materials is None:
+        flat = np.concatenate(
+            [np.asarray(absorption, np.float32),
+             np.asarray([scattering, 0, 0, 0, 0], np.float32)]
+        ).reshape(1, 9)
+        return flat, None
+    flat = pack_materials(materials)
+    if material_grid is None:
+        mat_id = None
+    else:
+        mat_id = np.ascontiguousarray(material_grid, np.uint8)
+        assert mat_id.shape == occ.shape, (mat_id.shape, occ.shape)
+        assert mat_id.max(initial=0) < len(flat)
+    return flat, mat_id
+
+
+def _mat_ptr(mat_id):
+    if mat_id is None:
+        return ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    return mat_id.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
 def synth_rir_bank_native(
     graph: SceneGraph,
     goal_nodes: np.ndarray,
@@ -116,10 +209,18 @@ def synth_rir_bank_native(
     air_absorption: float = 0.005,
     seed: int = 0,
     num_threads: int = 0,
+    materials=None,
+    material_grid: np.ndarray | None = None,
+    transmission: bool = False,
+    diffraction: bool = False,
 ) -> np.ndarray:
     """Binaural RIRs [4, N, G, 2, rir_max_len] float32 traced natively.
     Defaults mirror the reference's sim config (indirectRayCount=500,
-    continuous_simulator.py:123)."""
+    continuous_simulator.py:123). `materials` (names/dicts, see
+    pack_materials) + `material_grid` (uint8 [h, w] cell->material id)
+    enable per-surface coefficients; `transmission`/`diffraction` mirror
+    the reference engine's acoustics config flags
+    (continuous_simulator.py:115-126)."""
     lib = _load()
     occ, origin = occupancy_from_graph(graph)
     pts = graph.points.astype(np.float32).copy()
@@ -129,13 +230,16 @@ def synth_rir_bank_native(
     out = np.zeros(
         (4, graph.num_nodes, len(sources), 2, rir_max_len), np.float32
     )
-    absorp = np.asarray(absorption, np.float32)
-    ret = lib.synth_rir_bank(
+    flat, mat_id = _material_args(
+        absorption, scattering, materials, material_grid, occ
+    )
+    ret = lib.synth_rir_bank_v2(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         graph.num_nodes,
         sources.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(sources),
         occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _mat_ptr(mat_id),
         occ.shape[0],
         occ.shape[1],
         ctypes.c_float(graph.grid_size),
@@ -143,9 +247,74 @@ def synth_rir_bank_native(
         rir_max_len,
         num_rays,
         max_bounces,
-        absorp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ctypes.c_float(scattering),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(flat),
         ctypes.c_float(air_absorption),
+        int(transmission),
+        int(diffraction),
+        ctypes.c_uint64(seed),
+        num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    assert ret == 0
+    return out
+
+
+def synth_ambisonic_bank_native(
+    graph: SceneGraph,
+    goal_nodes: np.ndarray,
+    sampling_rate: int,
+    rir_max_len: int,
+    order: int = 1,
+    num_rays: int = 500,
+    max_bounces: int = 40,
+    absorption: tuple[float, float, float, float] = (0.08, 0.1, 0.14, 0.2),
+    scattering: float = 0.3,
+    air_absorption: float = 0.005,
+    seed: int = 0,
+    num_threads: int = 0,
+    materials=None,
+    material_grid: np.ndarray | None = None,
+    transmission: bool = False,
+    diffraction: bool = False,
+) -> np.ndarray:
+    """Ambisonic RIR bank [N, G, (order+1)^2, rir_max_len] float32, ACN/SN3D
+    channel order — the reference engine's Ambisonics ChannelLayoutType
+    (SoundSpaces2.md config table). Feed to tools.ambisonic.decode_rir_bank
+    for the 4-heading binaural bank (ambisonic_to_binaural.py pipeline)."""
+    lib = _load()
+    occ, origin = occupancy_from_graph(graph)
+    pts = graph.points.astype(np.float32).copy()
+    pts[:, 0] -= origin[0]
+    pts[:, 2] -= origin[1]
+    sources = np.asarray(goal_nodes, np.int32)
+    n_sh = (order + 1) ** 2
+    out = np.zeros(
+        (graph.num_nodes, len(sources), n_sh, rir_max_len), np.float32
+    )
+    flat, mat_id = _material_args(
+        absorption, scattering, materials, material_grid, occ
+    )
+    ret = lib.synth_ambisonic_bank(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        graph.num_nodes,
+        sources.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(sources),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _mat_ptr(mat_id),
+        occ.shape[0],
+        occ.shape[1],
+        ctypes.c_float(graph.grid_size),
+        sampling_rate,
+        rir_max_len,
+        num_rays,
+        max_bounces,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(flat),
+        ctypes.c_float(air_absorption),
+        int(transmission),
+        int(diffraction),
+        order,
         ctypes.c_uint64(seed),
         num_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -173,6 +342,10 @@ class PoseTracer:
         air_absorption: float = 0.005,
         seed: int = 0,
         num_threads: int = 0,
+        materials=None,
+        material_grid: np.ndarray | None = None,
+        transmission: bool = False,
+        diffraction: bool = False,
     ):
         self._lib = _load()
         self._occ, self._origin = occupancy_from_graph(graph)
@@ -186,6 +359,11 @@ class PoseTracer:
         self.air_absorption = air_absorption
         self.seed = seed
         self.num_threads = num_threads
+        self._materials, self._mat_id = _material_args(
+            absorption, scattering, materials, material_grid, self._occ
+        )
+        self.transmission = bool(transmission)
+        self.diffraction = bool(diffraction)
 
     def __call__(
         self, recv_xzh: np.ndarray, src_xz: np.ndarray
@@ -200,11 +378,12 @@ class PoseTracer:
         src[:, 1] -= self._origin[1]
         b = recv.shape[0]
         out = np.zeros((b, 2, self.rir_max_len), np.float32)
-        ret = self._lib.trace_rirs(
+        ret = self._lib.trace_rirs_v2(
             recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             b,
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self._occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _mat_ptr(self._mat_id),
             self._occ.shape[0],
             self._occ.shape[1],
             ctypes.c_float(self.grid_size),
@@ -212,9 +391,11 @@ class PoseTracer:
             self.rir_max_len,
             self.num_rays,
             self.max_bounces,
-            self._absorption.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.c_float(self.scattering),
+            self._materials.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(self._materials),
             ctypes.c_float(self.air_absorption),
+            int(self.transmission),
+            int(self.diffraction),
             ctypes.c_uint64(self.seed),
             self.num_threads,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
