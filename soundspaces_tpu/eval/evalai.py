@@ -84,21 +84,29 @@ def _recv_exact(sock, n: int) -> bytes:
 
 
 class GrpcChannel:
-    """The real EvalAI transport, used when its modules exist
-    (benchmark.py:50-54 imports; absent from this image by default)."""
+    """The real EvalAI transport (benchmark.py:50-54 imports + :72 stub).
+    Prefers the evaluator image's own generated modules when importable;
+    otherwise uses the vendored wire-compatible ones
+    (soundspaces_tpu/eval/protos/evaluation.proto)."""
 
     def __init__(self, addr_port: str | None = None):
-        import evaluation_pb2  # noqa: F401
-        import evaluation_pb2_grpc
         import grpc
+
+        try:
+            import evaluation_pb2
+            import evaluation_pb2_grpc
+        except ImportError:
+            from soundspaces_tpu.eval.protos import (
+                evaluation_pb2,
+                evaluation_pb2_grpc,
+            )
 
         self._pb2 = evaluation_pb2
         addr_port = addr_port or os.environ.get(
             "EVALENV_ADDPORT", "localhost:8085"
         )
-        self._stub = evaluation_pb2_grpc.EnvironmentStub(
-            grpc.insecure_channel(addr_port)
-        )
+        self._channel = grpc.insecure_channel(addr_port)
+        self._stub = evaluation_pb2_grpc.EnvironmentStub(self._channel)
 
     def call(self, method: str, payload: bytes = b"") -> bytes:
         pkg = self._pb2.Package(SerializedEntity=payload) if payload else (
@@ -107,7 +115,7 @@ class GrpcChannel:
         return getattr(self._stub, method)(pkg).SerializedEntity
 
     def close(self):
-        pass
+        self._channel.close()
 
 
 def make_channel(addr_port: str | None = None):
@@ -237,6 +245,34 @@ class EnvironmentServicer:
         self.address = f"{host}:{srv.getsockname()[1]}"
         self._srv = srv
         return srv.getsockname()
+
+    def serve_grpc(self, host: str = "127.0.0.1", port: int = 0):
+        """Serve the six methods over REAL gRPC (the transport EvalAI's
+        evaluator uses, benchmark.py:50-72). Returns (host, bound_port)
+        once started; stop with `self._grpc_server.stop(0)`."""
+        from concurrent import futures
+
+        import grpc
+
+        from soundspaces_tpu.eval.protos import (
+            evaluation_pb2,
+            evaluation_pb2_grpc,
+        )
+
+        adapter = evaluation_pb2_grpc.EnvironmentServicer()
+        for name in METHODS:
+            def handler(request, context, _m=name):
+                return evaluation_pb2.Package(
+                    SerializedEntity=self.handle(_m, request.SerializedEntity)
+                )
+            setattr(adapter, name, handler)
+        server = grpc.server(futures.ThreadPoolExecutor(max_workers=1))
+        evaluation_pb2_grpc.add_EnvironmentServicer_to_server(adapter, server)
+        bound = server.add_insecure_port(f"{host}:{port}")
+        server.start()
+        self._grpc_server = server
+        self.address = f"{host}:{bound}"
+        return host, bound
 
     def serve_loop(self):
         conn, _ = self._srv.accept()
