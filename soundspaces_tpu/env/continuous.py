@@ -184,6 +184,12 @@ class ContinuousEnvState:
     # fresh RIR and the previous step's, so crossfade never re-renders
     rir: jax.Array | None = None
     prev_rir: jax.Array | None = None
+    # fresh-mode distractor: its own pose-exact RIR pair (each fresh source
+    # synthesizes per-(pose, source), so the distractor gets a second render
+    # — the task layer drives either simulator uniformly,
+    # semantic_audionav_task.py:174-210)
+    d_rir: jax.Array | None = None
+    prev_d_rir: jax.Array | None = None
     # parametric mode: per-episode circular shift decorrelating the static
     # band-noise tables across episodes (fixed within an episode so
     # consecutive steps stay temporally coherent)
@@ -224,12 +230,9 @@ class ContinuousAudioNavEnv:
                 "one with ops.neural_rir.train_neural_rir_field"
             )
             self._neural_net, self._neural_params = neural_field
-        if config.has_distractor_sound:
-            assert config.rir_source == "bank", (
-                "continuous distractor mixing needs the RIR bank (fresh-RIR "
-                "modes render the goal source only; the reference's "
-                "continuous sim equally renders one AudioSensor source)"
-            )
+        # distractor mixing works under every rir_source: bank mode gathers
+        # the distractor slot's RIR; fresh modes render a second pose-exact
+        # RIR at the distractor's position (d_rir in the state)
         self._band_noise = None
         if config.rir_source in ("parametric", "neural"):
             from soundspaces_tpu.ops.parametric_rir import band_noise_tables
@@ -336,9 +339,14 @@ class ContinuousAudioNavEnv:
             if self.config.rir_source in ("parametric", "neural")
             else None
         )
+        zero_d_rir = (
+            zero_rir if self.config.has_distractor_sound else None
+        )
         return ContinuousEnvState(
             rir=zero_rir,
             prev_rir=zero_rir,
+            d_rir=zero_d_rir,
+            prev_d_rir=zero_d_rir,
             tail_shift=tail_shift,
             x=scene.points[node, 0],
             z=scene.points[node, 2],
@@ -409,34 +417,52 @@ class ContinuousAudioNavEnv:
         state = self._load_episode(scene, episodes, rng, env_id)
         if self.config.rir_source in FRESH_RIR_SOURCES:
             rir = self._fresh_rir(scene, state)
-            state = state.replace(rir=rir, prev_rir=rir)
+            updates = dict(rir=rir, prev_rir=rir)
+            if self.config.has_distractor_sound:
+                d_rir = self._fresh_rir(
+                    scene, state, self._distractor_node(scene, state)
+                )
+                updates.update(d_rir=d_rir, prev_d_rir=d_rir)
+            state = state.replace(**updates)
         return state, self._observe(scene, state)
 
-    def _fresh_rir(self, scene, state):
+    def _distractor_node(self, scene, state):
+        """Graph node of the distractor's RIR slot (slot -> node inversion
+        of goal_slot_of_node); garbage when no distractor — callers mask
+        on distractor_sound_id >= 0."""
+        d_slot = jnp.maximum(state.distractor_slot, 0)
+        return jnp.argmax(
+            scene.goal_slot_of_node == d_slot
+        ).astype(jnp.int32)
+
+    def _fresh_rir(self, scene, state, src_node=None):
         """Pose-exact RIR at the state's continuous pose: native ray trace
         (host callback), on-device parametric synthesis, or the distilled
-        neural RIR field (ops/neural_rir.py)."""
+        neural RIR field (ops/neural_rir.py). `src_node` overrides the
+        source position (distractor rendering)."""
+        src = state.goal_node if src_node is None else src_node
         if self.config.rir_source == "tracer":
             return self._traced_rir(
-                scene, state.x, state.z, state.heading, state.goal_node
+                scene, state.x, state.z, state.heading, src
             )
         if self.config.rir_source == "neural":
-            return self._neural_rir(scene, state)
-        return self._parametric_rir(scene, state)
+            return self._neural_rir(scene, state, src)
+        return self._parametric_rir(scene, state, src)
 
-    def _neural_rir(self, scene, state):
+    def _neural_rir(self, scene, state, src_node=None):
         """Distilled tracer: MLP-predicted diffuse envelopes + analytic
         direct path, entirely on device (ops/neural_rir.py)."""
         from soundspaces_tpu.ops.neural_rir import neural_binaural_rir
 
+        src = state.goal_node if src_node is None else src_node
         pts = scene.points
         bbox_min = jnp.stack([pts[:, 0].min(), pts[:, 2].min()])
         bbox_max = jnp.stack([pts[:, 0].max(), pts[:, 2].max()])
         return neural_binaural_rir(
             self._neural_params, self._neural_net,
             state.x, state.z, state.heading,
-            scene.points[state.goal_node, 0],
-            scene.points[state.goal_node, 2],
+            scene.points[src, 0],
+            scene.points[src, 2],
             self._band_noise, bbox_min, bbox_max, state.tail_shift,
             int(scene.sampling_rate), int(scene.rir_max_len),
         )
@@ -541,9 +567,16 @@ class ContinuousAudioNavEnv:
             # render the merged pose ONCE; the previous pose's RIR is carried
             # (on reset, prev = current so the crossfade is a no-op)
             rir = self._fresh_rir(scene, new_state)
-            new_state = new_state.replace(
-                rir=rir, prev_rir=jnp.where(done, rir, state.rir)
-            )
+            updates = dict(rir=rir, prev_rir=jnp.where(done, rir, state.rir))
+            if self.config.has_distractor_sound:
+                d_rir = self._fresh_rir(
+                    scene, new_state, self._distractor_node(scene, new_state)
+                )
+                updates.update(
+                    d_rir=d_rir,
+                    prev_d_rir=jnp.where(done, d_rir, state.d_rir),
+                )
+            new_state = new_state.replace(**updates)
         return new_state, self._observe(scene, new_state), reward, done, info
 
     # -------------------------------------------------------------- sensors
@@ -572,7 +605,7 @@ class ContinuousAudioNavEnv:
             host, shape, recv, src, vmap_method="broadcast_all"
         )
 
-    def _parametric_rir(self, scene, state):
+    def _parametric_rir(self, scene, state, src_node=None):
         """On-device pose-exact RIR (ops/parametric_rir.py): image-source
         early reflections over the scene's bounding shoebox + Sabine
         4-band tails from the static noise tables."""
@@ -582,6 +615,7 @@ class ContinuousAudioNavEnv:
         )
 
         cfg = self.config
+        src = state.goal_node if src_node is None else src_node
         pts = scene.points
         bbox_min = jnp.stack([pts[:, 0].min(), pts[:, 2].min()])
         bbox_max = jnp.stack([pts[:, 0].max(), pts[:, 2].max()])
@@ -591,7 +625,7 @@ class ContinuousAudioNavEnv:
         rt60 = sabine_rt60(ext, jnp.asarray(cfg.parametric_absorption))
         return parametric_binaural_rir(
             state.x, state.z, state.heading,
-            scene.points[state.goal_node, 0], scene.points[state.goal_node, 2],
+            scene.points[src, 0], scene.points[src, 2],
             self._band_noise, rt60, bbox_min, bbox_max, state.tail_shift,
             int(scene.sampling_rate), int(scene.rir_max_len),
             room_height=cfg.room_height,
@@ -599,9 +633,10 @@ class ContinuousAudioNavEnv:
         )
 
     def _distractor_audio(self, scene, state):
-        """Crossfaded audio of the distractor source at its own RIR slot
-        (bank mode; the reference mixes a second fftconvolve the same way,
-        simulator.py:649-664)."""
+        """Crossfaded audio of the distractor source (the reference mixes a
+        second fftconvolve the same way, simulator.py:649-664). Bank mode
+        gathers the distractor slot's RIR; fresh modes use the pose-exact
+        d_rir pair rendered alongside the goal RIR."""
         cfg = self.config
         d_sound = jnp.maximum(state.distractor_sound_id, 0)
         d_slot = jnp.maximum(state.distractor_slot, 0)
@@ -614,18 +649,26 @@ class ContinuousAudioNavEnv:
             sample_index=state.sample_index % d_samples,
         )
         seg = self._seg_spectra(scene, d_state)
-        node = self._nearest_node(scene, state.x, state.z)
-        az = self._az_idx(state.heading)
-        rir = self._bank_rir(scene, d_state, node, az)
-        audio = self._render_audio(scene, d_state, rir, seg)
-        if cfg.use_crossfade:
-            prev_head = self._render_audio_head(
-                scene,
-                self._bank_rir(scene, d_state, state.prev_node,
-                               state.prev_az),
-                seg,
-            )
-            audio = crossfade(prev_head, audio, scene.sampling_rate)
+        if cfg.rir_source in FRESH_RIR_SOURCES:
+            audio = self._render_audio(scene, d_state, state.d_rir, seg)
+            if cfg.use_crossfade:
+                prev_head = self._render_audio_head(
+                    scene, state.prev_d_rir, seg
+                )
+                audio = crossfade(prev_head, audio, scene.sampling_rate)
+        else:
+            node = self._nearest_node(scene, state.x, state.z)
+            az = self._az_idx(state.heading)
+            rir = self._bank_rir(scene, d_state, node, az)
+            audio = self._render_audio(scene, d_state, rir, seg)
+            if cfg.use_crossfade:
+                prev_head = self._render_audio_head(
+                    scene,
+                    self._bank_rir(scene, d_state, state.prev_node,
+                                   state.prev_az),
+                    seg,
+                )
+                audio = crossfade(prev_head, audio, scene.sampling_rate)
         has_d = (state.distractor_sound_id >= 0) & (
             state.distractor_slot >= 0
         )

@@ -29,7 +29,8 @@ def world():
     return assets, scene
 
 
-def make_env(world, num_envs=2, with_distractors=False, duration=None, **kw):
+def make_env(world, num_envs=2, with_distractors=False, duration=None,
+             neural_field=None, **kw):
     assets, scene = world
     episodes = make_episode_bank(
         assets, 32, seed=52, min_geodesic_hops=2,
@@ -38,7 +39,8 @@ def make_env(world, num_envs=2, with_distractors=False, duration=None, **kw):
     cfg = ContinuousConfig(
         sensors=("spectrogram", "audiogoal"), max_episode_steps=50, **kw
     )
-    return assets, ContinuousAudioNavEnv(cfg, scene, episodes, num_envs)
+    return assets, ContinuousAudioNavEnv(cfg, scene, episodes, num_envs,
+                                         neural_field=neural_field)
 
 
 def test_full_measure_suite_present(world):
@@ -99,6 +101,34 @@ def test_distractor_changes_audio_only_when_present(world):
     # mixing is additive: distractor audio = difference, and it must carry
     # energy in the convolution window
     assert np.isfinite(a1).all()
+
+
+@pytest.mark.parametrize("source", ["parametric", "neural"])
+def test_distractor_mixes_under_fresh_rir_sources(world, source):
+    """The semantic task layer drives every simulator mode uniformly
+    (semantic_audionav_task.py:174-210): under parametric/neural RIR
+    sources the distractor gets its own pose-exact rendered RIR (d_rir)
+    and mixes additively, exactly as in bank mode."""
+    kw = {"rir_source": source}
+    if source == "neural":
+        from soundspaces_tpu.ops.neural_rir import NeuralRIRField
+
+        net = NeuralRIRField(hidden=32, num_frames=8)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros(4))
+        kw["neural_field"] = (net, params)
+    _, env_d = make_env(world, with_distractors=True,
+                        has_distractor_sound=True, **kw)
+    _, env_p = make_env(world, with_distractors=True,
+                        has_distractor_sound=False, **kw)
+    s1, o1 = env_d.reset(jax.random.PRNGKey(5))
+    s2, o2 = env_p.reset(jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
+    a1, a2 = np.asarray(o1["audiogoal"]), np.asarray(o2["audiogoal"])
+    assert np.isfinite(a1).all()
+    assert np.abs(a1 - a2).max() > 1e-6, "distractor did not mix in"
+    # and stepping keeps both RIR pairs flowing (crossfade path)
+    s1, o1, _, _, _ = env_d.step(s1, jnp.full((2,), MOVE_FORWARD))
+    assert np.isfinite(np.asarray(o1["audiogoal"])).all()
 
 
 def test_duration_silences_audio_and_sws(world):
