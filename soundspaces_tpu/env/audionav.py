@@ -286,6 +286,14 @@ class AudioNavEnv:
             "sws": sf * silent,
             "collisions": collision_count.astype(jnp.float32),
         }
+        if episodes.valid is not None and cfg.episode_sampling == "sequential":
+            # which episode slot this env has been playing: ep_ptr advanced
+            # by num_envs at load time, so step back one stride. Padded
+            # (cycled) slots report ep_valid=0 and are not scored by eval.
+            cur = jnp.mod(
+                state.ep_ptr - jnp.int32(self.num_envs), episodes.num_episodes
+            )
+            info["ep_valid"] = episodes.valid[cur].astype(jnp.float32)
 
         sound_len = jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)
         continued = state.replace(

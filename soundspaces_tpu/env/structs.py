@@ -260,6 +260,12 @@ class EpisodeBank:
     # (SemanticAudioGoal.view_points, semantic_audionav_task.py:28-46);
     # success = STOP at any of them. Defaults to just the goal node.
     viewpoint_nodes: jax.Array
+    # [E] bool, False for slots that are padding duplicates (multi-scene
+    # stacking cycles smaller scenes' episodes up to the max count,
+    # train/multiscene.py::stack_episode_banks). Sequential eval plays but
+    # does NOT score invalid slots, so a smaller scene's episodes are never
+    # double-counted. None (single-scene banks) means all-valid.
+    valid: jax.Array | None = None
 
     @property
     def num_episodes(self) -> int:

@@ -303,6 +303,10 @@ def main():
     ap.add_argument("--rir-max-len", type=int, default=8000)
     ap.add_argument("--num-rays", type=int, default=500)
     ap.add_argument("--train-episodes", type=int, default=4000)
+    # reference eval protocol sizes (savi/config/default.py:283-290):
+    # val -> 500 episodes, test -> 1000
+    ap.add_argument("--val-episodes", type=int, default=500)
+    ap.add_argument("--test-episodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--semantic", action="store_true",
@@ -314,6 +318,7 @@ def main():
     if args.semantic:
         summary = augment_semantic(
             args.out, scene=args.scene, train_episodes=args.train_episodes,
+            val_episodes=args.val_episodes, test_episodes=args.test_episodes,
             seed=args.seed,
         )
         print(json.dumps(summary))
@@ -322,7 +327,8 @@ def main():
         args.out, scene=args.scene, width=args.width, depth=args.depth,
         num_goals=args.num_goals, sampling_rate=args.sampling_rate,
         rir_max_len=args.rir_max_len, num_rays=args.num_rays,
-        train_episodes=args.train_episodes, seed=args.seed,
+        train_episodes=args.train_episodes, val_episodes=args.val_episodes,
+        test_episodes=args.test_episodes, seed=args.seed,
     )
     print(json.dumps(summary))
 

@@ -97,8 +97,11 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
 
 
 def stack_episode_banks(banks: Sequence[EpisodeBank]) -> EpisodeBank:
-    """Stack per-scene episode banks along a leading scene axis (episode
-    counts padded by cycling — sampling is uniform anyway)."""
+    """Stack per-scene episode banks along a leading scene axis. Episode
+    counts are padded by cycling (fine for uniform training sampling); a
+    per-slot `valid` mask marks the cycled duplicates so sequential eval
+    never re-scores a smaller scene's episodes (the reference's eval walks
+    each scene's episode list exactly once, base_trainer.py eval flow)."""
     e_max = max(b.num_episodes for b in banks)
 
     def stack(get, fill=0):
@@ -118,7 +121,19 @@ def stack_episode_banks(banks: Sequence[EpisodeBank]) -> EpisodeBank:
             padded.append(out)
         return jnp.asarray(np.stack(padded))
 
+    valid = jnp.asarray(
+        np.stack([
+            (np.arange(e_max) < b.num_episodes)
+            & (
+                np.asarray(b.valid)[np.arange(e_max) % b.num_episodes]
+                if b.valid is not None
+                else True
+            )
+            for b in banks
+        ])
+    )
     return EpisodeBank(
+        valid=valid,
         viewpoint_nodes=stack(
             lambda b: getattr(b, "viewpoint_nodes"), fill=-1
         ),
@@ -159,10 +174,20 @@ class MultiSceneEnv:
         from soundspaces_tpu.env.audionav import AudioNavEnv
 
         self.num_scenes = int(scene.points.shape[0])
-        assert num_envs % self.num_scenes == 0, (
-            f"num_envs={num_envs} must divide evenly over "
-            f"{self.num_scenes} scenes"
+        assert num_envs >= self.num_scenes, (
+            f"num_envs={num_envs} < num_scenes={self.num_scenes}: every "
+            "scene needs at least one env (the reference likewise assigns "
+            "each worker at least one scene, env_utils.py:36-69)"
         )
+        # round-robin env distribution: when num_envs doesn't divide evenly
+        # the first (num_envs % num_scenes) scenes take one extra env —
+        # group sizes differ by at most 1, like the reference's scene
+        # round-robin over workers (env_utils.py:65-69)
+        n, r = divmod(num_envs, self.num_scenes)
+        self.group_sizes = [n + 1] * r + [n] * (self.num_scenes - r)
+        self.group_offsets = np.concatenate(
+            [[0], np.cumsum(self.group_sizes)]
+        ).astype(np.int32)
         self.num_envs = num_envs
         self.scene = scene
         self.episodes = episodes
@@ -170,9 +195,14 @@ class MultiSceneEnv:
         ep0 = jax.tree.map(lambda x: x[0], episodes)
         # base_cls: AudioNavEnv (default) or ContinuousAudioNavEnv with
         # rir_source in ("bank", "parametric") — per-step host tracers and
-        # per-scene neural fields don't group-dispatch
-        self.base = (base_cls or AudioNavEnv)(config, scene0, ep0,
-                                              num_envs // self.num_scenes)
+        # per-scene neural fields don't group-dispatch. One base env per
+        # distinct group size (at most two): the base's num_envs drives the
+        # sequential episode-cursor stride, which must match the group.
+        cls = base_cls or AudioNavEnv
+        self._bases = {
+            sz: cls(config, scene0, ep0, sz) for sz in set(self.group_sizes)
+        }
+        self.base = self._bases[self.group_sizes[0]]
         self.config = self.base.config
         self._reset_jit = jax.jit(self.reset_pure)
         self._step_jit = jax.jit(self.step_pure)
@@ -189,33 +219,39 @@ class MultiSceneEnv:
     def step(self, state, actions):
         return self._step_jit(self.scene, self.episodes, state, actions)
 
-    def _dispatch(self, fn, scene, episodes, *per_env):
-        s = self.num_scenes
-        grouped = [
-            jax.tree.map(lambda a: a.reshape((s, -1) + a.shape[1:]), x)
-            for x in per_env
-        ]
+    def _dispatch(self, method, scene, episodes, *per_env):
         outs = []
-        for g in range(s):  # static: each group's banks are free views
+        for g in range(self.num_scenes):  # static: banks are free views
+            lo = int(self.group_offsets[g])
+            hi = int(self.group_offsets[g + 1])
             sc = jax.tree.map(lambda x: x[g], scene)
             ep = jax.tree.map(lambda x: x[g], episodes)
-            args = [jax.tree.map(lambda x: x[g], x) for x in grouped]
+            args = [jax.tree.map(lambda x: x[lo:hi], x) for x in per_env]
+            fn = getattr(self._bases[self.group_sizes[g]], method)
             outs.append(fn(sc, ep, *args))
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        # groups may be unequal (round-robin remainder) — concatenate, not
+        # stack+reshape
         return jax.tree.map(
-            lambda a: a.reshape((-1,) + a.shape[2:]), stacked
+            lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
+            *outs,
         )
 
     def reset_pure(self, scene, episodes, keys, env_ids):
         # env_ids localize per group so each group walks its own episodes
-        local_ids = env_ids % (self.num_envs // self.num_scenes)
+        # (env batch order is group-blocked: group g owns the contiguous
+        # slice [offsets[g], offsets[g+1]))
+        offs = jnp.asarray(
+            np.repeat(self.group_offsets[:-1], self.group_sizes),
+            dtype=env_ids.dtype,
+        )
+        local_ids = env_ids - offs
         return self._dispatch(
-            self.base.reset_pure, scene, episodes, keys, local_ids
+            "reset_pure", scene, episodes, keys, local_ids
         )
 
     def step_pure(self, scene, episodes, state, actions):
         return self._dispatch(
-            self.base.step_pure, scene, episodes, state, actions
+            "step_pure", scene, episodes, state, actions
         )
 
 
@@ -243,7 +279,7 @@ def scene_sharded_train_step(mesh, step_fn, num_envs: int, num_scenes: int):
             return P(DP_AXIS, *([None] * (x.ndim - 1)))
         return P()
 
-    def sharded_fn(params, opt_state, carry, rng, clip, scene, episodes):
+    def sharded_fn(params, opt_state, carry, rng, clip, ent, scene, episodes):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
         carry = carry.replace(
             rng=jax.random.fold_in(carry.rng, jax.lax.axis_index(DP_AXIS))
@@ -251,9 +287,11 @@ def scene_sharded_train_step(mesh, step_fn, num_envs: int, num_scenes: int):
         if scenes_per_shard == 1:
             scene = jax.tree.map(lambda x: x[0], scene)  # squeeze local scene
             episodes = jax.tree.map(lambda x: x[0], episodes)
-        return step_fn(params, opt_state, carry, rng, clip, scene, episodes)
+        return step_fn(
+            params, opt_state, carry, rng, clip, ent, scene, episodes
+        )
 
-    def wrapped(params, opt_state, carry, rng, clip, scene, episodes):
+    def wrapped(params, opt_state, carry, rng, clip, ent, scene, episodes):
         carry_specs = jax.tree.map(spec_for_carry, carry)
         scene_spec = jax.tree.map(
             lambda x: P(DP_AXIS, *([None] * (x.ndim - 1))), scene
@@ -264,9 +302,11 @@ def scene_sharded_train_step(mesh, step_fn, num_envs: int, num_scenes: int):
         return shard_map(
             sharded_fn,
             mesh=mesh,
-            in_specs=(P(), P(), carry_specs, P(), P(), scene_spec, ep_spec),
+            in_specs=(
+                P(), P(), carry_specs, P(), P(), P(), scene_spec, ep_spec,
+            ),
             out_specs=(P(), P(), carry_specs, P()),
             check_rep=False,
-        )(params, opt_state, carry, rng, clip, scene, episodes)
+        )(params, opt_state, carry, rng, clip, ent, scene, episodes)
 
     return wrapped

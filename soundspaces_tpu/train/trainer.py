@@ -406,6 +406,16 @@ class PPOTrainer:
         counting after the target episode count."""
         env = self.eval_env or self.env
         num_episodes = num_episodes or self.cfg.test_episode_count
+        ep_valid_mask = getattr(env.episodes, "valid", None)
+        if (
+            ep_valid_mask is not None
+            and env.config.episode_sampling == "sequential"
+        ):
+            # multi-scene stacking pads smaller scenes by cycling; only the
+            # true (non-duplicate) episodes are scoreable
+            num_episodes = min(
+                num_episodes, int(np.asarray(ep_valid_mask).sum())
+            )
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         rng, reset_key = jax.random.split(rng)
         state, obs = env.reset(reset_key)
@@ -435,8 +445,17 @@ class PPOTrainer:
         video_frames: list = []
         video_audio: list = []
         videos_written = 0
+        played_episodes = num_episodes
+        if ep_valid_mask is not None:
+            # padded duplicates are played but not scored — budget steps for
+            # the full padded episode stream
+            m = np.asarray(ep_valid_mask)
+            played_episodes = int(
+                np.ceil(num_episodes * m.size / max(m.sum(), 1))
+            )
         max_steps = max_steps or (
-            env.config.max_episode_steps * (num_episodes // env.num_envs + 2)
+            env.config.max_episode_steps
+            * (played_episodes // env.num_envs + 2)
         )
         for _ in range(max_steps):
             rng, key = jax.random.split(rng)
@@ -472,9 +491,14 @@ class PPOTrainer:
             d = np.asarray(done)
             if d.any():
                 fetched = jax.device_get(info)
+                ep_valid = fetched.pop("ep_valid", None)
                 for i in np.nonzero(d)[0]:
                     if count >= num_episodes:
                         break
+                    if ep_valid is not None and ep_valid[i] == 0.0:
+                        # padded duplicate slot from multi-scene episode
+                        # stacking — played for lockstep, never scored
+                        continue
                     count += 1
                     for k, v in fetched.items():
                         totals[k] = totals.get(k, 0.0) + float(v[i])
