@@ -463,6 +463,93 @@ def build_waypoint_env(
     )
 
 
+def build_multiscene_waypoint_env(
+    cfg: ExperimentConfig,
+    num_envs: int | None = None,
+    sequential: bool = False,
+    share_from=None,
+):
+    """AV-WaN over several scenes: one WaypointNavEnv per scene with its own
+    graph-shaped tables, env batch round-robined over scenes
+    (avwan/multiscene.py). Pass `share_from` (the train env) when building
+    the eval pair so device banks and egomap/intensity precompute aren't
+    paid twice."""
+    import dataclasses as dc
+
+    from soundspaces_tpu.avwan.env import WaypointConfig, build_waypoint_tables
+    from soundspaces_tpu.avwan.maps import MapperConfig
+    from soundspaces_tpu.avwan.multiscene import MultiSceneWaypointEnv
+
+    multi_real = not cfg.data.synthetic and bool(cfg.data.scene_root)
+    if multi_real:
+        scene_names = discover_scenes(cfg)
+        make_assets = (
+            build_scene_assets if share_from is None else light_scene_assets
+        )
+        assets_list = [make_assets(cfg, s) for s in scene_names]
+    else:
+        scene_names = None
+        assets_list = [
+            build_assets(
+                dc.replace(
+                    cfg, data=dc.replace(cfg.data, seed=cfg.data.seed + i)
+                )
+            )
+            for i in range(cfg.data.num_scenes)
+        ]
+    split_path = cfg.data.episode_split_path
+    if sequential and cfg.data.eval_episode_split_path:
+        split_path = cfg.data.eval_episode_split_path
+    if multi_real and split_path:
+        banks = [
+            load_episode_bank(cfg, a, split_path, content_scenes=(s,))
+            for s, a in zip(scene_names, assets_list)
+        ]
+    else:
+        banks = [
+            make_episode_bank(
+                a, cfg.data.num_episodes, seed=cfg.data.seed + 1 + i,
+                min_geodesic_hops=1,
+            )
+            for i, a in enumerate(assets_list)
+        ]
+    env_cfg = cfg.env
+    if sequential:
+        env_cfg = dc.replace(env_cfg, episode_sampling="sequential")
+    if share_from is not None:
+        scenes = list(share_from.base.scene)
+        tables_list = list(share_from.tables())
+        wp_cfg = share_from.wp
+    else:
+        scenes = [DeviceScene.from_assets(a) for a in assets_list]
+        mapper = MapperConfig(
+            action_map_size=cfg.avwan.action_map_size,
+            geometric_map_size=cfg.avwan.geometric_map_size,
+            acoustic_map_size=cfg.avwan.acoustic_map_size,
+        )
+        # the internal map must cover the LARGEST scene so per-env state
+        # shapes are identical across scene groups
+        mapper = dc.replace(
+            mapper,
+            internal_map_size=max(
+                auto_internal_map_size(a.graph.points, mapper)
+                for a in assets_list
+            ),
+        )
+        wp_cfg = WaypointConfig(
+            prediction_interval=cfg.avwan.prediction_interval, mapper=mapper,
+            plan_from_map=cfg.avwan.plan_from_map,
+            egomap_depth_hw=cfg.avwan.egomap_depth_hw,
+        )
+        tables_list = [
+            build_waypoint_tables(a.graph, mapper) for a in assets_list
+        ]
+    return MultiSceneWaypointEnv(
+        env_cfg, wp_cfg, scenes, banks, tables_list,
+        num_envs or cfg.trainer.num_envs,
+    )
+
+
 def build_trainer(cfg: ExperimentConfig, mesh=None):
     # multi-scene configs (synthetic scene sets or a reference-layout scene
     # root) build their per-scene assets inside build_env's stacking branch;
@@ -472,18 +559,21 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
     )
     assets = None if multi_scene else build_assets(cfg)
     if cfg.trainer_name in ("AVWanTrainer", "avwan"):
-        assert not multi_scene, (
-            "AVWanTrainer builds per-scene waypoint tables over a single "
-            "scene; train scenes separately or use AV-Nav/SAVi for "
-            "multi-scene jobs"
-        )
         from soundspaces_tpu.avwan.trainer import AVWanTrainer
 
-        env = build_waypoint_env(cfg, assets)
-        eval_env = build_waypoint_env(
-            cfg, assets, sequential=True, scene=env.base.scene,
-            tables=env.tables(),
-        )
+        if multi_scene:
+            # per-scene envs with their own graph-shaped tables, env batch
+            # round-robined over scenes (avwan/multiscene.py)
+            env = build_multiscene_waypoint_env(cfg)
+            eval_env = build_multiscene_waypoint_env(
+                cfg, sequential=True, share_from=env
+            )
+        else:
+            env = build_waypoint_env(cfg, assets)
+            eval_env = build_waypoint_env(
+                cfg, assets, sequential=True, scene=env.base.scene,
+                tables=env.tables(),
+            )
         trainer = AVWanTrainer(
             cfg.trainer, cfg.ppo, env, eval_env=eval_env,
             use_gm=cfg.avwan.use_gm, use_am=cfg.avwan.use_am,
