@@ -115,8 +115,12 @@ def main(argv=None):
     print(f"[ingest] reference-format assets in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
+    shared_scene = None
     for n in args.num_envs:
-        env = build_env(cfg, assets=assets, num_envs=n)
+        env = build_env(cfg, assets=assets, num_envs=n, scene=shared_scene)
+        # one host->device upload for the whole ladder (the ~3.9 GB bank
+        # streams at only a few MB/s over the tunnel)
+        shared_scene = env.scene
         rate = bench_env(env, n, args.scan_steps, args.timed_calls)
         print(
             json.dumps(

@@ -102,7 +102,7 @@ def test_trainer_updates_then_freezes_stats(tmp_path):
     # 4 steps x 4 envs folded in
     assert float(carry1.norm_stats.count) == 16.0
     p, o, carry2, _ = step(p, o, carry1, jax.random.PRNGKey(2),
-                           jnp.float32(0.1), scene, eps)
+                           jnp.float32(0.1), jnp.float32(0.2), scene, eps)
     assert float(carry2.norm_stats.count) == 32.0
     assert np.isfinite(np.asarray(carry2.norm_stats.var)).all()
 
