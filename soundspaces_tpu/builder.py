@@ -611,6 +611,7 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
                 use_belief_predictor=cfg.smt.use_belief_predictor,
                 online_belief_training=cfg.smt.online_belief_training,
                 belief_lr=cfg.smt.belief_lr,
+                ablate_beliefs=cfg.smt.ablate_beliefs,
             ),
         )
     else:

@@ -126,6 +126,10 @@ class SMTConfig:
     use_belief_predictor: bool = True
     online_belief_training: bool = True
     belief_lr: float = 1e-4
+    # zero the belief inputs the policy sees (predictor still trains) —
+    # the savi ablation: smt.ablate_beliefs=true at eval quantifies how
+    # much the learned beliefs carry (savi/README.md ablation table)
+    ablate_beliefs: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
