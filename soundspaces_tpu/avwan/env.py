@@ -373,21 +373,22 @@ class WaypointNavEnv:
         row = jnp.clip(mm // 2 + gzc - e // 2, 0, mm - e).astype(jnp.int32)
         col = jnp.clip(mm // 2 + gxc - e // 2, 0, mm - e).astype(jnp.int32)
         cur = jax.lax.dynamic_slice(
-            state.mapper.geometric, (row, col, 0), (e, e, 2)
+            state.mapper.geometric, (0, row, col), (2, e, e)
         )
-        new = jnp.maximum(cur, patch)  # register semantics (mapper.py update)
+        # HWC ego patch -> the stored channel-first layout (MapperState)
+        new = jnp.maximum(cur, jnp.transpose(patch, (2, 0, 1)))
         if self.wp.plan_from_map:
             # agent footprint = known free space (the reference planner keeps
             # the agent position in its graph, planner.py:170-209); the agent
             # cell always lies inside its own ego window
             vr = jnp.clip(mm // 2 + gzc - 1 - row, 0, e - 3)
             vc = jnp.clip(mm // 2 + gxc - 1 - col, 0, e - 3)
-            vis = jax.lax.dynamic_slice(new, (vr, vc, 0), (3, 3, 2))
-            vis = vis.at[..., 1].set(1.0).at[..., 0].set(0.0)
-            new = jax.lax.dynamic_update_slice(new, vis, (vr, vc, 0))
+            vis = jax.lax.dynamic_slice(new, (0, vr, vc), (2, 3, 3))
+            vis = vis.at[1].set(1.0).at[0].set(0.0)
+            new = jax.lax.dynamic_update_slice(new, vis, (0, vr, vc))
         new = jnp.where(active, new, cur)
         geometric = jax.lax.dynamic_update_slice(
-            state.mapper.geometric, new, (row, col, 0)
+            state.mapper.geometric, new, (0, row, col)
         )
         mapper = state.mapper.replace(geometric=geometric)
         if self.wp.plan_from_map:
@@ -684,12 +685,12 @@ def _mark_blocked_ahead(
     m = cfg.internal_map_size
     row = jnp.clip(m // 2 + gz_cells + dz - 1, 0, m - 3).astype(jnp.int32)
     col = jnp.clip(m // 2 + gx_cells + dx - 1, 0, m - 3).astype(jnp.int32)
-    patch = jax.lax.dynamic_slice(mapper.geometric, (row, col, 0), (3, 3, 2))
-    stamped = patch.at[..., 1].set(1.0).at[..., 0].set(1.0)
+    patch = jax.lax.dynamic_slice(mapper.geometric, (0, row, col), (2, 3, 3))
+    stamped = patch.at[1].set(1.0).at[0].set(1.0)
     patch = jnp.where(enabled, stamped, patch)
     return mapper.replace(
         geometric=jax.lax.dynamic_update_slice(
-            mapper.geometric, patch, (row, col, 0)
+            mapper.geometric, patch, (0, row, col)
         )
     )
 

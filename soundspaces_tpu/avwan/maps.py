@@ -43,7 +43,11 @@ class MapperState:
     tracked in map cells relative to the episode start (the reference resets
     maps per episode, mapper.py reset)."""
 
-    geometric: jax.Array  # [M, M, 2] obstacle/explored
+    # CHANNEL-FIRST [2, M, M] (obstacle, explored): with channels minormost
+    # XLA tiles the trailing (2)-dim to 128 lanes — a 64x HBM padding
+    # blow-up per env (7.6 GB for 64 envs at M=500); channel-first tiles
+    # the (M, M) plane onto (8, 128) cleanly.
+    geometric: jax.Array  # [2, M, M] obstacle/explored
     acoustic_sum: jax.Array  # [A, A]
     acoustic_count: jax.Array  # [A, A]
 
@@ -51,7 +55,7 @@ class MapperState:
     def zeros(cls, cfg: MapperConfig) -> "MapperState":
         m, a = cfg.internal_map_size, cfg.acoustic_map_size
         return cls(
-            geometric=jnp.zeros((m, m, 2), jnp.float32),
+            geometric=jnp.zeros((2, m, m), jnp.float32),
             acoustic_sum=jnp.zeros((a, a), jnp.float32),
             acoustic_count=jnp.zeros((a, a), jnp.float32),
         )
@@ -86,11 +90,14 @@ def register_egomap(
     col = (m // 2 + cell_x - e // 2).astype(jnp.int32)
     row = jnp.clip(row, 0, m - e)
     col = jnp.clip(col, 0, m - e)
-    current = jax.lax.dynamic_slice(state.geometric, (row, col, 0), (e, e, 2))
+    patch = jnp.transpose(patch, (2, 0, 1))  # HWC ego patch -> stored CF
+    current = jax.lax.dynamic_slice(
+        state.geometric, (0, row, col), (2, e, e)
+    )
     merged = jnp.maximum(current, patch)
     return state.replace(
         geometric=jax.lax.dynamic_update_slice(
-            state.geometric, merged, (row, col, 0)
+            state.geometric, merged, (0, row, col)
         )
     )
 
@@ -131,19 +138,20 @@ def egocentric_crops(
     # clamped slice silently shifts the crop beyond (m-g)/2 cells from the
     # episode start); zeros = unexplored, same as in-map unknown space
     p = (g + 1) // 2
-    padded = jnp.pad(state.geometric, ((p, p), (p, p), (0, 0)))
+    padded = jnp.pad(state.geometric, ((0, 0), (p, p), (p, p)))
     row = (p + m // 2 + cell_z - g // 2).astype(jnp.int32)
     col = (p + m // 2 + cell_x - g // 2).astype(jnp.int32)
-    crop = jax.lax.dynamic_slice(padded, (row, col, 0), (g, g, 2))
+    crop = jax.lax.dynamic_slice(padded, (0, row, col), (2, g, g))
     crop = jax.lax.switch(
         (-rot_idx) % 4,
         [
             lambda p: p,
-            lambda p: jnp.rot90(p, k=1),
-            lambda p: jnp.rot90(p, k=2),
-            lambda p: jnp.rot90(p, k=3),
+            lambda p: jnp.rot90(p, k=1, axes=(1, 2)),
+            lambda p: jnp.rot90(p, k=2, axes=(1, 2)),
+            lambda p: jnp.rot90(p, k=3, axes=(1, 2)),
         ],
         crop,
     )
     am = state.acoustic_sum / jnp.maximum(state.acoustic_count, 1.0)
-    return {"gm": crop, "am": am[..., None]}
+    # the policy consumes HWC crops; the transpose is on the small window
+    return {"gm": jnp.transpose(crop, (1, 2, 0)), "am": am[..., None]}

@@ -41,7 +41,9 @@ INF = 1e6
 
 
 def coarse_free_window(
-    geometric: jax.Array,  # [M, M, 2] 0.1 m map (obstacle, explored)
+    geometric: jax.Array,  # [2, M, M] channel-first 0.1 m map
+    # (obstacle, explored) — see MapperState.geometric for the layout
+    # rationale
     cell_x: jax.Array,  # agent 0.5 m-cell coords, center-origin (cols)
     cell_z: jax.Array,  # rows
     window: int = 17,  # planning window in 0.5 m cells
@@ -53,7 +55,7 @@ def coarse_free_window(
     (planner.py:176-177): a planning cell is blocked only when its 3x3 core
     holds a fine cell with EXPLORED obstacle evidence (obstacle>=thresh AND
     explored>=thresh); unexplored space is free until proven otherwise."""
-    m = geometric.shape[0]
+    m = geometric.shape[1]
     e = window * scale
     # pad so the window stays CENTERED on the agent even at the map border —
     # a clamped slice would shift the window while every consumer
@@ -62,16 +64,16 @@ def coarse_free_window(
     # (m - e)/2 fine cells from the episode start. Zero padding = unexplored
     # = optimistically free, the same semantics as in-map unknown space.
     p = (e + 1) // 2
-    padded = jnp.pad(geometric, ((p, p), (p, p), (0, 0)))
+    padded = jnp.pad(geometric, ((0, 0), (p, p), (p, p)))
     # agent block's top-left in 0.1 m cells: pad + map center + cell*scale - e/2
     row = (p + m // 2 + cell_z * scale - e // 2).astype(jnp.int32)
     col = (p + m // 2 + cell_x * scale - e // 2).astype(jnp.int32)
-    patch = jax.lax.dynamic_slice(padded, (row, col, 0), (e, e, 2))
-    core = patch.reshape(window, scale, window, scale, 2)[
-        :, 1 : scale - 1, :, 1 : scale - 1, :
+    patch = jax.lax.dynamic_slice(padded, (0, row, col), (2, e, e))
+    core = patch.reshape(2, window, scale, window, scale)[
+        :, :, 1 : scale - 1, :, 1 : scale - 1
     ]
-    evidence = (core[..., 0] >= obstacle_thresh) & (
-        core[..., 1] >= obstacle_thresh
+    evidence = (core[0] >= obstacle_thresh) & (
+        core[1] >= obstacle_thresh
     )
     free = ~evidence.any(axis=(1, 3))
     c = window // 2

@@ -22,7 +22,8 @@ M = 100  # fine map size
 
 
 def _empty_geometric():
-    return jnp.zeros((M, M, 2), jnp.float32)
+    # channel-first [2, M, M] (obstacle, explored) — MapperState.geometric
+    return jnp.zeros((2, M, M), jnp.float32)
 
 
 def _stamp(geo, cell_z, cell_x, obstacle, explored):
@@ -30,8 +31,8 @@ def _stamp(geo, cell_z, cell_x, obstacle, explored):
     planning cell k spans fine rows M//2 + k*S - S//2 ... + S)."""
     r0 = M // 2 + cell_z * S - S // 2
     c0 = M // 2 + cell_x * S - S // 2
-    geo = geo.at[r0 : r0 + S, c0 : c0 + S, 0].set(obstacle)
-    geo = geo.at[r0 : r0 + S, c0 : c0 + S, 1].set(explored)
+    geo = geo.at[0, r0 : r0 + S, c0 : c0 + S].set(obstacle)
+    geo = geo.at[1, r0 : r0 + S, c0 : c0 + S].set(explored)
     return geo
 
 
