@@ -372,25 +372,26 @@ class WaypointNavEnv:
         gxc, gzc = cell_x * scale, cell_z * scale  # agent, 0.1 m map cells
         row = jnp.clip(mm // 2 + gzc - e // 2, 0, mm - e).astype(jnp.int32)
         col = jnp.clip(mm // 2 + gxc - e // 2, 0, mm - e).astype(jnp.int32)
-        cur = jax.lax.dynamic_slice(
-            state.mapper.geometric, (0, row, col), (2, e, e)
+        # per-plane windowed register (two [M, M] planes — MapperState
+        # layout note); the footprint stamp marks the agent's own 3x3 as
+        # known free space (the reference planner keeps the agent position
+        # in its graph, planner.py:170-209)
+        vr = jnp.clip(mm // 2 + gzc - 1 - row, 0, e - 3)
+        vc = jnp.clip(mm // 2 + gxc - 1 - col, 0, e - 3)
+
+        def _register(plane, ch, foot):
+            cur = jax.lax.dynamic_slice(plane, (row, col), (e, e))
+            new = jnp.maximum(cur, patch[..., ch])  # register semantics
+            if self.wp.plan_from_map:
+                vis = jnp.full((3, 3), foot, jnp.float32)
+                new = jax.lax.dynamic_update_slice(new, vis, (vr, vc))
+            new = jnp.where(active, new, cur)
+            return jax.lax.dynamic_update_slice(plane, new, (row, col))
+
+        mapper = state.mapper.replace(
+            geo_obstacle=_register(state.mapper.geo_obstacle, 0, 0.0),
+            geo_explored=_register(state.mapper.geo_explored, 1, 1.0),
         )
-        # HWC ego patch -> the stored channel-first layout (MapperState)
-        new = jnp.maximum(cur, jnp.transpose(patch, (2, 0, 1)))
-        if self.wp.plan_from_map:
-            # agent footprint = known free space (the reference planner keeps
-            # the agent position in its graph, planner.py:170-209); the agent
-            # cell always lies inside its own ego window
-            vr = jnp.clip(mm // 2 + gzc - 1 - row, 0, e - 3)
-            vc = jnp.clip(mm // 2 + gxc - 1 - col, 0, e - 3)
-            vis = jax.lax.dynamic_slice(new, (0, vr, vc), (2, 3, 3))
-            vis = vis.at[1].set(1.0).at[0].set(0.0)
-            new = jax.lax.dynamic_update_slice(new, vis, (0, vr, vc))
-        new = jnp.where(active, new, cur)
-        geometric = jax.lax.dynamic_update_slice(
-            state.mapper.geometric, new, (0, row, col)
-        )
-        mapper = state.mapper.replace(geometric=geometric)
         if self.wp.plan_from_map:
             # collision evidence: the planning cell ahead is an obstacle —
             # the reference's collision-driven graph edit (planner.py:151-162).
@@ -442,7 +443,8 @@ class WaypointNavEnv:
         cell_z = tables.node_cell_z[base.node] - tables.node_cell_z[base.start_node]
         scale = int(round(0.5 / self.wp.mapper.map_resolution))
         return coarse_free_window(
-            state.mapper.geometric, cell_x, cell_z,
+            state.mapper.geo_obstacle, state.mapper.geo_explored,
+            cell_x, cell_z,
             window=self.wp.plan_window, scale=scale,
         )
 
@@ -685,13 +687,14 @@ def _mark_blocked_ahead(
     m = cfg.internal_map_size
     row = jnp.clip(m // 2 + gz_cells + dz - 1, 0, m - 3).astype(jnp.int32)
     col = jnp.clip(m // 2 + gx_cells + dx - 1, 0, m - 3).astype(jnp.int32)
-    patch = jax.lax.dynamic_slice(mapper.geometric, (0, row, col), (2, 3, 3))
-    stamped = patch.at[1].set(1.0).at[0].set(1.0)
-    patch = jnp.where(enabled, stamped, patch)
+    def _stamp(plane):
+        patch = jax.lax.dynamic_slice(plane, (row, col), (3, 3))
+        patch = jnp.where(enabled, jnp.ones_like(patch), patch)
+        return jax.lax.dynamic_update_slice(plane, patch, (row, col))
+
     return mapper.replace(
-        geometric=jax.lax.dynamic_update_slice(
-            mapper.geometric, patch, (0, row, col)
-        )
+        geo_obstacle=_stamp(mapper.geo_obstacle),
+        geo_explored=_stamp(mapper.geo_explored),
     )
 
 

@@ -43,19 +43,28 @@ class MapperState:
     tracked in map cells relative to the episode start (the reference resets
     maps per episode, mapper.py reset)."""
 
-    # CHANNEL-FIRST [2, M, M] (obstacle, explored): with channels minormost
-    # XLA tiles the trailing (2)-dim to 128 lanes — a 64x HBM padding
-    # blow-up per env (7.6 GB for 64 envs at M=500); channel-first tiles
-    # the (M, M) plane onto (8, 128) cleanly.
-    geometric: jax.Array  # [2, M, M] obstacle/explored
+    # TWO SEPARATE [M, M] planes, not one [..., 2] (or [2, ...]) array:
+    # any stacked layout leaves a size-2 dim that XLA's scatter layout
+    # assignment insists on making minormost, tiling it onto 128 lanes —
+    # a 64x HBM padding blow-up per env (7.6 GB of HLO temp for 64 envs
+    # at M=500, measured on both channel orders). Bare (M, M) planes tile
+    # onto (8, 128) cleanly.
+    geo_obstacle: jax.Array  # [M, M]
+    geo_explored: jax.Array  # [M, M]
     acoustic_sum: jax.Array  # [A, A]
     acoustic_count: jax.Array  # [A, A]
+
+    @property
+    def geometric(self) -> jax.Array:
+        """HWC [M, M, 2] view for consumers outside the hot loop."""
+        return jnp.stack([self.geo_obstacle, self.geo_explored], axis=-1)
 
     @classmethod
     def zeros(cls, cfg: MapperConfig) -> "MapperState":
         m, a = cfg.internal_map_size, cfg.acoustic_map_size
         return cls(
-            geometric=jnp.zeros((2, m, m), jnp.float32),
+            geo_obstacle=jnp.zeros((m, m), jnp.float32),
+            geo_explored=jnp.zeros((m, m), jnp.float32),
             acoustic_sum=jnp.zeros((a, a), jnp.float32),
             acoustic_count=jnp.zeros((a, a), jnp.float32),
         )
@@ -90,15 +99,16 @@ def register_egomap(
     col = (m // 2 + cell_x - e // 2).astype(jnp.int32)
     row = jnp.clip(row, 0, m - e)
     col = jnp.clip(col, 0, m - e)
-    patch = jnp.transpose(patch, (2, 0, 1))  # HWC ego patch -> stored CF
-    current = jax.lax.dynamic_slice(
-        state.geometric, (0, row, col), (2, e, e)
-    )
-    merged = jnp.maximum(current, patch)
-    return state.replace(
-        geometric=jax.lax.dynamic_update_slice(
-            state.geometric, merged, (0, row, col)
+
+    def _merge(plane, ch):
+        cur = jax.lax.dynamic_slice(plane, (row, col), (e, e))
+        return jax.lax.dynamic_update_slice(
+            plane, jnp.maximum(cur, patch[..., ch]), (row, col)
         )
+
+    return state.replace(
+        geo_obstacle=_merge(state.geo_obstacle, 0),
+        geo_explored=_merge(state.geo_explored, 1),
     )
 
 
@@ -138,20 +148,26 @@ def egocentric_crops(
     # clamped slice silently shifts the crop beyond (m-g)/2 cells from the
     # episode start); zeros = unexplored, same as in-map unknown space
     p = (g + 1) // 2
-    padded = jnp.pad(state.geometric, ((0, 0), (p, p), (p, p)))
     row = (p + m // 2 + cell_z - g // 2).astype(jnp.int32)
     col = (p + m // 2 + cell_x - g // 2).astype(jnp.int32)
-    crop = jax.lax.dynamic_slice(padded, (0, row, col), (2, g, g))
+
+    def _crop(plane):
+        padded = jnp.pad(plane, ((p, p), (p, p)))
+        return jax.lax.dynamic_slice(padded, (row, col), (g, g))
+
+    # stack only the small [g, g] windows back to the policy's HWC layout
+    crop = jnp.stack(
+        [_crop(state.geo_obstacle), _crop(state.geo_explored)], axis=-1
+    )
     crop = jax.lax.switch(
         (-rot_idx) % 4,
         [
             lambda p: p,
-            lambda p: jnp.rot90(p, k=1, axes=(1, 2)),
-            lambda p: jnp.rot90(p, k=2, axes=(1, 2)),
-            lambda p: jnp.rot90(p, k=3, axes=(1, 2)),
+            lambda p: jnp.rot90(p, k=1),
+            lambda p: jnp.rot90(p, k=2),
+            lambda p: jnp.rot90(p, k=3),
         ],
         crop,
     )
     am = state.acoustic_sum / jnp.maximum(state.acoustic_count, 1.0)
-    # the policy consumes HWC crops; the transpose is on the small window
-    return {"gm": jnp.transpose(crop, (1, 2, 0)), "am": am[..., None]}
+    return {"gm": crop, "am": am[..., None]}

@@ -41,9 +41,10 @@ INF = 1e6
 
 
 def coarse_free_window(
-    geometric: jax.Array,  # [2, M, M] channel-first 0.1 m map
-    # (obstacle, explored) — see MapperState.geometric for the layout
-    # rationale
+    geo_obstacle: jax.Array,  # [M, M] 0.1 m obstacle-evidence plane
+    geo_explored: jax.Array,  # [M, M] 0.1 m explored plane (separate
+    # planes, not one stacked array — see MapperState for the TPU layout
+    # rationale)
     cell_x: jax.Array,  # agent 0.5 m-cell coords, center-origin (cols)
     cell_z: jax.Array,  # rows
     window: int = 17,  # planning window in 0.5 m cells
@@ -55,7 +56,7 @@ def coarse_free_window(
     (planner.py:176-177): a planning cell is blocked only when its 3x3 core
     holds a fine cell with EXPLORED obstacle evidence (obstacle>=thresh AND
     explored>=thresh); unexplored space is free until proven otherwise."""
-    m = geometric.shape[1]
+    m = geo_obstacle.shape[0]
     e = window * scale
     # pad so the window stays CENTERED on the agent even at the map border —
     # a clamped slice would shift the window while every consumer
@@ -64,16 +65,19 @@ def coarse_free_window(
     # (m - e)/2 fine cells from the episode start. Zero padding = unexplored
     # = optimistically free, the same semantics as in-map unknown space.
     p = (e + 1) // 2
-    padded = jnp.pad(geometric, ((0, 0), (p, p), (p, p)))
     # agent block's top-left in 0.1 m cells: pad + map center + cell*scale - e/2
     row = (p + m // 2 + cell_z * scale - e // 2).astype(jnp.int32)
     col = (p + m // 2 + cell_x * scale - e // 2).astype(jnp.int32)
-    patch = jax.lax.dynamic_slice(padded, (0, row, col), (2, e, e))
-    core = patch.reshape(2, window, scale, window, scale)[
-        :, :, 1 : scale - 1, :, 1 : scale - 1
-    ]
-    evidence = (core[0] >= obstacle_thresh) & (
-        core[1] >= obstacle_thresh
+
+    def _core(plane):
+        padded = jnp.pad(plane, ((p, p), (p, p)))
+        patch = jax.lax.dynamic_slice(padded, (row, col), (e, e))
+        return patch.reshape(window, scale, window, scale)[
+            :, 1 : scale - 1, :, 1 : scale - 1
+        ]
+
+    evidence = (_core(geo_obstacle) >= obstacle_thresh) & (
+        _core(geo_explored) >= obstacle_thresh
     )
     free = ~evidence.any(axis=(1, 3))
     c = window // 2

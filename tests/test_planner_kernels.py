@@ -22,24 +22,25 @@ M = 100  # fine map size
 
 
 def _empty_geometric():
-    # channel-first [2, M, M] (obstacle, explored) — MapperState.geometric
-    return jnp.zeros((2, M, M), jnp.float32)
+    # two separate [M, M] planes (obstacle, explored) — MapperState layout
+    return (jnp.zeros((M, M), jnp.float32), jnp.zeros((M, M), jnp.float32))
 
 
 def _stamp(geo, cell_z, cell_x, obstacle, explored):
     """Write a full planning-cell block of fine cells (centered layout:
     planning cell k spans fine rows M//2 + k*S - S//2 ... + S)."""
+    obs_p, exp_p = geo
     r0 = M // 2 + cell_z * S - S // 2
     c0 = M // 2 + cell_x * S - S // 2
-    geo = geo.at[0, r0 : r0 + S, c0 : c0 + S].set(obstacle)
-    geo = geo.at[1, r0 : r0 + S, c0 : c0 + S].set(explored)
-    return geo
+    obs_p = obs_p.at[r0 : r0 + S, c0 : c0 + S].set(obstacle)
+    exp_p = exp_p.at[r0 : r0 + S, c0 : c0 + S].set(explored)
+    return (obs_p, exp_p)
 
 
 def test_empty_map_is_all_free():
     """Optimism: with nothing explored, every planning cell is free
     (planner.py:176-177 builds the full graph from the empty map)."""
-    free = coarse_free_window(_empty_geometric(), jnp.int32(0), jnp.int32(0),
+    free = coarse_free_window(*_empty_geometric(), jnp.int32(0), jnp.int32(0),
                               window=W, scale=S)
     assert float(free.sum()) == W * W
 
@@ -48,19 +49,19 @@ def test_unexplored_obstacle_is_still_free():
     """Obstacle evidence only counts when the cell is EXPLORED (the
     reference's bitwise_and of obstacle>=0.5 AND explored>=0.5)."""
     geo = _stamp(_empty_geometric(), 2, 1, obstacle=1.0, explored=0.0)
-    free = np.asarray(coarse_free_window(geo, jnp.int32(0), jnp.int32(0),
+    free = np.asarray(coarse_free_window(*geo, jnp.int32(0), jnp.int32(0),
                                          window=W, scale=S))
     assert free[W // 2 + 2, W // 2 + 1] == 1.0
 
 
 def test_explored_obstacle_blocks_cell():
     geo = _stamp(_empty_geometric(), 2, 1, obstacle=1.0, explored=1.0)
-    free = np.asarray(coarse_free_window(geo, jnp.int32(0), jnp.int32(0),
+    free = np.asarray(coarse_free_window(*geo, jnp.int32(0), jnp.int32(0),
                                          window=W, scale=S))
     assert free[W // 2 + 2, W // 2 + 1] == 0.0
     # explored FREE space stays free
     geo2 = _stamp(_empty_geometric(), 2, 1, obstacle=0.0, explored=1.0)
-    free2 = np.asarray(coarse_free_window(geo2, jnp.int32(0), jnp.int32(0),
+    free2 = np.asarray(coarse_free_window(*geo2, jnp.int32(0), jnp.int32(0),
                                           window=W, scale=S))
     assert free2[W // 2 + 2, W // 2 + 1] == 1.0
 
@@ -122,7 +123,7 @@ def test_window_stays_agent_centered_at_map_border():
     # fully on-map
     cz = cx = -8
     geo = _stamp(_empty_geometric(), cz - 1, cx, 1.0, 1.0)  # wall just north
-    free = coarse_free_window(geo, jnp.int32(cx), jnp.int32(cz),
+    free = coarse_free_window(*geo, jnp.int32(cx), jnp.int32(cz),
                               window=W, scale=S)
     c = W // 2
     assert float(free[c, c]) == 1.0
