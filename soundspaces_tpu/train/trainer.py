@@ -371,16 +371,17 @@ class PPOTrainer:
             params, opt_state, carry0 = self.init_state(
                 jax.random.PRNGKey(self.cfg.seed)
             )
+            # getattr: carry classes without input normalization (e.g. the
+            # AV-WaN WanCarry) have no norm_stats field at all
             norm_stats = None
-            if carry0.norm_stats is not None:
+            if getattr(carry0, "norm_stats", None) is not None:
                 params, _, update, norm_stats = self.load_checkpoint(
                     ckpt, params, opt_state, carry0.norm_stats
                 )
             else:
                 params, _, update = self.load_checkpoint(ckpt, params, opt_state)
-            stats = self.evaluate(
-                params, num_episodes=num_episodes, norm_stats=norm_stats
-            )
+            kwargs = {"norm_stats": norm_stats} if norm_stats is not None else {}
+            stats = self.evaluate(params, num_episodes=num_episodes, **kwargs)
             stats["update"] = float(update)
             if model_dir:
                 log_eval_result(model_dir, ckpt, stats)

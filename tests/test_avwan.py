@@ -237,6 +237,11 @@ def test_avwan_trainer_full_loop(wp_world, tmp_path):
     assert any(f.startswith("ckpt.") for f in os.listdir(tmp_path / "ckpts"))
     stats = trainer.evaluate(params, num_episodes=2, max_steps=40)
     assert stats["episode_count"] >= 1
+    # regression: the checkpoint-folder polling eval must work for the
+    # AV-WaN trainer too — WanCarry has no norm_stats field, which used to
+    # AttributeError at trainer.py's carry0.norm_stats access
+    results = trainer.eval(num_episodes=2, max_wait_s=0.0)
+    assert results and results[0][1]["episode_count"] >= 1
 
 
 def test_mask_optimistic_then_tightens(wp_world):
