@@ -301,6 +301,8 @@ class PPOTrainer:
                 window.append(m["reward"])
                 window = window[-ppo.reward_window_size :]
                 m["reward_window"] = float(np.mean(window))
+                if ppo.use_linear_entropy_decay:
+                    m["entropy_coef"] = float(ent)
                 m["fps"] = steps_per_update * (update + 1 - start_update) / (
                     time.time() - t0
                 )

@@ -137,6 +137,26 @@ def test_short_training_improves_policy(small_world):
     assert stats["distance_to_goal"] >= 0.0
 
 
+def test_entropy_coef_anneals_linearly(small_world):
+    """use_linear_entropy_decay: the coefficient passed to each update is
+    final + (init - final) * (1 - u/num_updates), and the trainer logs it
+    so long-run anneals are auditable from the metrics JSONL."""
+    env = small_world
+    tc = TrainerConfig(num_envs=4, num_updates=4, log_interval=1,
+                       checkpoint_folder="/tmp/ssfx_ckpt_ent_test")
+    pc = PPOConfig(num_steps=4, hidden_size=32, ppo_epoch=1, num_mini_batch=1,
+                   entropy_coef=0.25, use_linear_entropy_decay=True,
+                   final_entropy_coef=0.05)
+    tr = PPOTrainer(tc, pc, env)
+    logs = []
+    tr.train(jax.random.PRNGKey(0), log_fn=lambda u, m: logs.append((u, m)))
+    assert len(logs) == 4
+    for u, m in logs:
+        frac = 1.0 - u / 4
+        want = 0.05 + (0.25 - 0.05) * frac
+        assert m["entropy_coef"] == pytest.approx(want), (u, m["entropy_coef"])
+
+
 def test_checkpoint_roundtrip(small_world, tmp_path):
     env = small_world
     tr = make_trainer(env)
