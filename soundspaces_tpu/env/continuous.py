@@ -401,17 +401,35 @@ class ContinuousAudioNavEnv:
         return jnp.all(scene.occupancy[cz, cx] > 0.5)
 
     def _geodesic(self, scene, x, z, goal_node):
-        """Continuous geodesic: min over graph nodes of (euclidean to the
-        node + node->goal graph distance) — the graph-augmented metric that
-        stands in for habitat's navmesh geodesic
+        """Continuous geodesic: min over LOCALLY REACHABLE graph nodes of
+        (euclidean to the node + node->goal graph distance) — the
+        graph-augmented metric that stands in for habitat's navmesh geodesic
         (continuous_simulator.py:464-480). Unlike nearest-node hop counts it
         changes with every sub-node motion, so the distance-delta reward
-        (environments.py:74-91) gives dense shaping in continuous mode."""
+        (environments.py:74-91) gives dense shaping in continuous mode.
+
+        The min MUST be restricted to nodes within one grid cell of the
+        agent (plus the nearest node as a fallback): an unrestricted min
+        would pick the goal node itself and collapse the metric to
+        straight-line-through-walls distance, which (a) halves the reported
+        distance on multi-room worlds, and (b) hands every episode's FIRST
+        step a spurious (graph_geodesic - euclid) reward spike at the
+        auto-reset boundary, because prev_geodesic is initialized from the
+        episode's stored graph geodesic. A random quick-STOP policy farms
+        that reset spike — the round-3 realistic continuous run's
+        reward-60-per-32-step-window, success-0.002 signature. At a node
+        position the restricted metric equals hops*grid_size exactly, so it
+        is consistent with the dataset's episode geodesics. Walls occupy
+        whole grid cells in cell-based worlds, so no node across a wall is
+        ever within grid_size of a walkable pose."""
         d = jnp.sqrt(
             (scene.points[:, 0] - x) ** 2 + (scene.points[:, 2] - z) ** 2
         )
         hops = scene.geodesic_hops[:, goal_node].astype(jnp.float32)
-        return jnp.min(d + hops * scene.grid_size)
+        local = (d <= scene.grid_size) | (d <= jnp.min(d))
+        return jnp.min(
+            jnp.where(local, d + hops * scene.grid_size, jnp.inf)
+        )
 
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(scene, episodes, rng, env_id)

@@ -377,3 +377,110 @@ def test_sequential_episode_sampling(cont_env):
     np.testing.assert_array_equal(np.asarray(s1.goal_node),
                                   np.asarray(s2.goal_node))
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
+
+
+# ---------------------------------------------------------------------------
+# Reward-shaping integrity (regression for the round-3 realistic continuous
+# failure: an unrestricted min in _geodesic collapsed the metric to
+# straight-line-through-walls distance, handing every episode's first step a
+# spurious (graph_geodesic - euclid) reward spike at the auto-reset boundary
+# that a quick-STOP policy farmed — reward ~60-103 per 32-step window at
+# success 0.002, results/realistic_continuous_r3_train.jsonl)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def walled_env():
+    """A bigger obstacle-rich world where straight-line and graph geodesics
+    genuinely differ (the 40-node cont_env world is too open)."""
+    assets = make_synthetic_assets(
+        num_nodes_hint=120, sampling_rate=4410, rir_max_len=1500,
+        image_size=8, num_sounds=2, max_secs=2, seed=41,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 32, seed=42, min_geodesic_hops=6)
+    cfg = ContinuousConfig(sensors=("spectrogram",), max_episode_steps=40)
+    return assets, ContinuousAudioNavEnv(cfg, scene, episodes, num_envs=4)
+
+
+def test_continuous_geodesic_matches_graph_at_nodes(walled_env):
+    """At a node position the continuous metric must equal the graph
+    geodesic (hops * grid_size) EXACTLY: the local-candidate min's best
+    anchor is the node itself (euclid 0 + full hop distance) and any
+    neighbor gives euclid grid_size + (hops-1)*grid_size = the same value.
+    The pre-fix unrestricted min instead undercut it on 108/117 nodes of
+    this world (worst 3.9 m) by tunneling euclid straight to the goal."""
+    assets, env = walled_env
+    g = assets.graph
+    scene = env.scene
+    goal = int(np.asarray(env.episodes.goal_node)[0])
+    geod = jax.jit(lambda x, z: env._geodesic(scene, x, z, jnp.int32(goal)))
+    hops = np.asarray(g.geodesic_hops[:, goal])
+    reachable = np.flatnonzero(hops < 30000)
+    got = np.array([
+        float(geod(scene.points[n, 0], scene.points[n, 2]))
+        for n in reachable
+    ])
+    want = hops[reachable].astype(np.float32) * g.grid_size
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_continuous_reset_geodesic_consistent(walled_env):
+    """prev_geodesic after reset (the episode dataset's stored graph
+    geodesic) must equal the env's own metric at the start pose — the
+    telescoped shaping's Phi(start). A mismatch IS the first-step reward
+    spike."""
+    _, env = walled_env
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    for i in range(env.num_envs):
+        phi = float(env._geodesic(
+            env.scene, state.x[i], state.z[i], state.goal_node[i]
+        ))
+        assert abs(phi - float(state.prev_geodesic[i])) < 1e-4
+
+
+def test_continuous_reward_telescopes(walled_env):
+    """Stepwise shaping identity over many episodes of a random policy:
+    reward_t == slack + (Phi_{t-1} - Phi_t)*scale + 10*success_t, where
+    Phi_{t-1} is the pre-step state's prev_geodesic and Phi_t the step's
+    reported distance_to_goal. Summed per episode this telescopes to
+    Phi_start - Phi_end + bonuses — the bound the round-3 realistic run
+    violated 4-5x (environments.py:74-91 shaping)."""
+    _, env = walled_env
+    cfg = env.config
+    rng = np.random.default_rng(0)
+    state, _ = env.reset(jax.random.PRNGKey(7))
+    ep_sum = np.zeros(env.num_envs, np.float64)
+    ep_start = np.asarray(state.start_geodesic, np.float64).copy()
+    completed = 0
+    for t in range(120):
+        acts = jnp.asarray(rng.integers(0, 4, env.num_envs), jnp.int32)
+        prev_phi = np.asarray(state.prev_geodesic, np.float64)
+        state, _, reward, done, info = env.step(state, acts)
+        reward = np.asarray(reward, np.float64)
+        phi = np.asarray(info["distance_to_goal"], np.float64)
+        succ = np.asarray(info["success"], np.float64)
+        want = (
+            cfg.slack_reward
+            + (prev_phi - phi) * cfg.distance_reward_scale
+            + succ * cfg.success_reward
+        )
+        np.testing.assert_allclose(reward, want, atol=1e-3)
+        ep_sum += reward
+        done = np.asarray(done)
+        for i in np.flatnonzero(done):
+            # telescoped bound: slack*T + (Phi_start - Phi_end) + success*10
+            bound = (
+                ep_start[i] * cfg.distance_reward_scale
+                + cfg.success_reward
+                + abs(cfg.slack_reward) * cfg.max_episode_steps
+                + 1e-3
+            )
+            assert ep_sum[i] <= bound, (
+                f"episode reward {ep_sum[i]:.2f} exceeds telescoped "
+                f"bound {bound:.2f}"
+            )
+            completed += 1
+            ep_sum[i] = 0.0
+            ep_start[i] = float(np.asarray(state.start_geodesic)[i])
+    assert completed >= 8  # the random policy must have finished episodes
