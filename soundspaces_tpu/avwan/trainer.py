@@ -221,6 +221,24 @@ class AVWanTrainer(PPOTrainer):
         ppo_trainer.py:399+)."""
         env = self.eval_env or self.env
         num_episodes = num_episodes or self.cfg.test_episode_count
+        banks = env.base.episodes
+        banks = banks if isinstance(banks, (tuple, list)) else (banks,)
+        # per-group scored-episode quota: a group can only ever walk its own
+        # scene's episode list once (the ep_valid first-pass gate enforces
+        # it step-side), so the total scoreable count is the sum of the
+        # groups' bank sizes
+        quota = sum(
+            int(np.asarray(b.valid).sum()) if b.valid is not None
+            else int(b.num_episodes)
+            for b in banks
+        )
+        if num_episodes > quota:
+            print(
+                f"[eval] requested {num_episodes} episodes but the eval "
+                f"split holds {quota}; clamping",
+                flush=True,
+            )
+            num_episodes = quota
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         rng, reset_key = jax.random.split(rng)
         state, obs = env.reset(reset_key)
@@ -256,9 +274,17 @@ class AVWanTrainer(PPOTrainer):
             d = np.asarray(done)
             if d.any():
                 fetched = jax.device_get(info)
+                ep_valid = fetched.pop("ep_valid", None)
                 for i in np.nonzero(d)[0]:
                     if count >= num_episodes:
                         break
+                    if ep_valid is not None and ep_valid[i] == 0.0:
+                        # padded duplicate or post-wrap replay (a group that
+                        # exhausted its scene's episode list keeps stepping
+                        # for lockstep but must not be scored again — the
+                        # reference walks each episode exactly once by
+                        # pausing exhausted envs, base_trainer.py:184-241)
+                        continue
                     count += 1
                     for k, v in fetched.items():
                         totals[k] = totals.get(k, 0.0) + float(v[i])

@@ -286,14 +286,24 @@ class AudioNavEnv:
             "sws": sf * silent,
             "collisions": collision_count.astype(jnp.float32),
         }
-        if episodes.valid is not None and cfg.episode_sampling == "sequential":
+        if cfg.episode_sampling == "sequential":
             # which episode slot this env has been playing: ep_ptr advanced
             # by num_envs at load time, so step back one stride. Padded
             # (cycled) slots report ep_valid=0 and are not scored by eval.
-            cur = jnp.mod(
-                state.ep_ptr - jnp.int32(self.num_envs), episodes.num_episodes
+            # The first-pass gate (raw pointer < bank size) additionally
+            # zeroes every episode an env replays after wrapping the bank —
+            # without it a faster env group re-walks already-scored episodes
+            # and sequential eval double-counts them (the reference instead
+            # pauses exhausted envs, base_trainer.py:184-241).
+            cur_raw = state.ep_ptr - jnp.int32(self.num_envs)
+            first_pass = (cur_raw < episodes.num_episodes).astype(jnp.float32)
+            cur = jnp.mod(cur_raw, episodes.num_episodes)
+            v = (
+                episodes.valid[cur].astype(jnp.float32)
+                if episodes.valid is not None
+                else jnp.float32(1.0)
             )
-            info["ep_valid"] = episodes.valid[cur].astype(jnp.float32)
+            info["ep_valid"] = v * first_pass
 
         sound_len = jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)
         continued = state.replace(

@@ -560,6 +560,19 @@ class ContinuousAudioNavEnv:
             "sws": sf * silent,
             "collisions": collision_count.astype(jnp.float32),
         }
+        if cfg.episode_sampling == "sequential":
+            # first-pass + padding gate, as in the discrete env: sequential
+            # eval scores each bank episode exactly once (audionav.py
+            # _step_one ep_valid)
+            cur_raw = state.ep_ptr - jnp.int32(self.num_envs)
+            first_pass = (cur_raw < episodes.num_episodes).astype(jnp.float32)
+            cur = jnp.mod(cur_raw, episodes.num_episodes)
+            v = (
+                episodes.valid[cur].astype(jnp.float32)
+                if episodes.valid is not None
+                else jnp.float32(1.0)
+            )
+            info["ep_valid"] = v * first_pass
 
         sound_samples = (
             jnp.maximum(scene.sound_lengths_sec[state.sound_id], 1)

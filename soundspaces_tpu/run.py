@@ -107,6 +107,7 @@ def main(argv=None):
                 checkpoint_folder=cfg.trainer.checkpoint_folder,
                 checkpoint_interval=cfg.trainer.checkpoint_interval,
                 log_interval=cfg.trainer.log_interval,
+                resume_from=latest_checkpoint(cfg.trainer.checkpoint_folder),
             )
         else:
             resume = latest_checkpoint(cfg.trainer.checkpoint_folder)

@@ -178,10 +178,15 @@ class SAViTrainer:
 
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         params, opt_state, bparams, bopt, carry = self.init_state(rng)
+        start_update = 0
+        if resume_from:
+            params, opt_state, bparams, start_update = self.load_checkpoint(
+                resume_from, params, opt_state, bparams
+            )
         step_fn = jax.jit(self.make_train_step())
         t0 = _time.time()
         steps_per_update = self.ppo.num_steps * self.env.num_envs
-        for update in range(num_updates):
+        for update in range(start_update, num_updates):
             rng, key = jax.random.split(rng)
             frac = 1.0 - update / max(num_updates, 1)
             clip = self.ppo.clip_param * (
@@ -194,7 +199,7 @@ class SAViTrainer:
             if log_fn and ((update + 1) % log_interval == 0
                            or update == num_updates - 1):
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                m["fps"] = steps_per_update * (update + 1) / (
+                m["fps"] = steps_per_update * (update + 1 - start_update) / (
                     _time.time() - t0
                 )
                 log_fn(update, m)

@@ -409,16 +409,24 @@ class PPOTrainer:
         counting after the target episode count."""
         env = self.eval_env or self.env
         num_episodes = num_episodes or self.cfg.test_episode_count
+        requested_episodes = num_episodes
         ep_valid_mask = getattr(env.episodes, "valid", None)
-        if (
-            ep_valid_mask is not None
-            and env.config.episode_sampling == "sequential"
-        ):
-            # multi-scene stacking pads smaller scenes by cycling; only the
-            # true (non-duplicate) episodes are scoreable
-            num_episodes = min(
-                num_episodes, int(np.asarray(ep_valid_mask).sum())
+        if env.config.episode_sampling == "sequential":
+            # each bank episode is scored at most once (ep_valid first-pass
+            # gate); multi-scene stacking additionally pads smaller scenes
+            # by cycling, so only the true (non-duplicate) episodes count
+            quota = (
+                int(np.asarray(ep_valid_mask).sum())
+                if ep_valid_mask is not None
+                else int(env.episodes.num_episodes)
             )
+            if num_episodes > quota:
+                print(
+                    f"[eval] requested {num_episodes} episodes but the eval "
+                    f"split holds {quota}; clamping",
+                    flush=True,
+                )
+                num_episodes = quota
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
         rng, reset_key = jax.random.split(rng)
         state, obs = env.reset(reset_key)
@@ -507,9 +515,12 @@ class PPOTrainer:
                         totals[k] = totals.get(k, 0.0) + float(v[i])
             if count >= num_episodes:
                 break
-        return {k: v / max(count, 1) for k, v in totals.items()} | {
+        out = {k: v / max(count, 1) for k, v in totals.items()} | {
             "episode_count": float(count)
         }
+        if requested_episodes != num_episodes:
+            out["requested_episodes"] = float(requested_episodes)
+        return out
 
     # ------------------------------------------------------------ checkpoints
     # set by the builder so checkpoints carry the full experiment config,

@@ -117,3 +117,43 @@ def test_builder_multiscene_avwan():
         jnp.float32(0.2), *trainer._bank_args(),
     )
     assert np.isfinite(float(jax.device_get(metrics)["reward"]))
+
+
+def test_multiscene_eval_quota_uneven_banks():
+    """Sequential eval over per-scene banks of UNEQUAL sizes (8 vs 3): the
+    requested count clamps to the 11-episode quota, and a group that
+    exhausts its scene's list keeps stepping for lockstep but is never
+    scored again (ep_valid first-pass gate) — the reference's
+    walk-each-episode-once protocol (base_trainer.py:184-241)."""
+    from soundspaces_tpu.avwan.trainer import AVWanTrainer
+    from soundspaces_tpu.train import PPOConfig, TrainerConfig
+    import dataclasses
+
+    assets = [_mk(10, 24), _mk(11, 36)]
+    mcfg = MapperConfig(
+        internal_map_size=100, geometric_map_size=40, egomap_size=15,
+        acoustic_map_size=10,
+    )
+    wp_cfg = WaypointConfig(prediction_interval=3, mapper=mcfg)
+    scenes = [DeviceScene.from_assets(a) for a in assets]
+    banks = [
+        make_episode_bank(a, n, seed=20 + i, min_geodesic_hops=2)
+        for i, (a, n) in enumerate(zip(assets, (8, 3)))
+    ]
+    tables = [build_waypoint_tables(a.graph, mcfg) for a in assets]
+    env = MultiSceneWaypointEnv(
+        EnvConfig(max_episode_steps=6, episode_sampling="sequential"),
+        wp_cfg, scenes, banks, tables, 4,
+    )
+    trainer = AVWanTrainer(
+        TrainerConfig(num_envs=4),
+        PPOConfig(num_steps=2, hidden_size=32, ppo_epoch=1, num_mini_batch=1),
+        env,
+    )
+    params, _, _ = trainer.init_state(jax.random.PRNGKey(1))
+    stats = trainer.evaluate(params, num_episodes=100, max_steps=120)
+    # quota: 8 + 3 — the request for 100 clamps, and the small scene's
+    # group (2 envs x 3 episodes) wrapping early must not re-score
+    assert stats["episode_count"] <= 11.0
+    assert stats["episode_count"] >= 8.0  # both groups contributed
+    assert "ep_valid" not in stats

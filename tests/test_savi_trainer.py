@@ -119,3 +119,31 @@ def test_savi_checkpoint_roundtrip_and_poll_eval(savi_setup, tmp_path):
     ckpt, stats = results[0]
     assert ckpt.endswith("ckpt.7") and stats["update"] == 7.0
     assert np.isfinite(stats["success"])
+
+
+def test_savi_train_resume(savi_setup, tmp_path):
+    """train(resume_from=...) must actually restore and continue from the
+    checkpoint's update counter (run.py passes latest_checkpoint for the
+    chip queue's wedge-recovery auto-resume) — previously the parameter was
+    accepted and silently ignored."""
+    env, trainer = savi_setup
+    folder = str(tmp_path / "ckpts")
+    logged = []
+    trainer.train(
+        jax.random.PRNGKey(0), num_updates=2, log_fn=None,
+        checkpoint_folder=folder, checkpoint_interval=1, log_interval=1,
+    )
+    from soundspaces_tpu.train.trainer import latest_checkpoint
+
+    ckpt = latest_checkpoint(folder)
+    assert ckpt and ckpt.endswith("ckpt.2")
+    trainer.train(
+        jax.random.PRNGKey(0), num_updates=4,
+        log_fn=lambda u, m: logged.append(u),
+        checkpoint_folder=folder, checkpoint_interval=1, log_interval=1,
+        resume_from=ckpt,
+    )
+    # resumed at update 2: only updates 2 and 3 run (logged 1-indexed-ish
+    # by the loop variable), and the folder gains ckpt.3 / ckpt.4
+    assert logged == [2, 3]
+    assert latest_checkpoint(folder).endswith("ckpt.4")

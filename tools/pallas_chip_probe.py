@@ -4,7 +4,9 @@ The |.|->pool->log1p spectrogram tail (`ops/pallas_kernels.py`) is opt-in
 (`spectrogram(..., use_pallas=True)`) because earlier rounds' tunnels could
 not compile Pallas remotely. This probe re-attempts on the real chip and
 times the Pallas tail against the XLA-fused default on identical inputs,
-checking bitwise-level agreement first.
+checking near-exact numerical agreement (max abs error < 1e-5) first;
+pallas_ms is only measured once that check passes, so a reported timing
+is always a timing of a CORRECT kernel.
 
 Run (chip must be otherwise idle — the tunnel is exclusive):
     python -m tools.pallas_chip_probe
@@ -56,8 +58,11 @@ def main() -> None:
         out = pallas_fn(audio)
         err = float(jnp.max(jnp.abs(out - ref)))
         result["max_err"] = err
-        result["pallas_ms"] = _timed(pallas_fn, audio)
         result["pallas_ok"] = bool(err < 1e-5)
+        if result["pallas_ok"]:
+            # only time a kernel that agrees — a speed number for a wrong
+            # kernel would invite misreading
+            result["pallas_ms"] = _timed(pallas_fn, audio)
     except Exception as e:  # noqa: BLE001 - report, don't crash the probe
         result["error"] = repr(e)[:300]
     print(json.dumps(result))
