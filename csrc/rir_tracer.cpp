@@ -115,18 +115,21 @@ struct Grid {
 struct BandEnergy {
   std::vector<float> e[kNumBands];  // energy per output sample
   // broadband direction-of-arrival accumulators (for ambisonic synthesis):
-  // ex/ey sum energy * unit-DOA so ex/etot is the per-sample mean direction.
-  std::vector<float> ex, ey, etot;
+  // ex/ey/ez sum energy * unit-DOA so ex/etot is the per-sample mean
+  // direction (ez is the vertical component, used by the 3-D paths only).
+  std::vector<float> ex, ey, ez, etot;
   bool directional;
   explicit BandEnergy(int len, bool dir = false) : directional(dir) {
     for (auto& v : e) v.assign(len, 0.0f);
     if (dir) {
       ex.assign(len, 0.0f);
       ey.assign(len, 0.0f);
+      ez.assign(len, 0.0f);
       etot.assign(len, 0.0f);
     }
   }
-  void deposit(int n, const float* band_e, float doax, float doay) {
+  void deposit(int n, const float* band_e, float doax, float doay,
+               float doaz = 0.0f) {
     float tot = 0.0f;
     for (int b = 0; b < kNumBands; ++b) {
       e[b][n] += band_e[b];
@@ -135,6 +138,7 @@ struct BandEnergy {
     if (directional) {
       ex[n] += tot * doax;
       ey[n] += tot * doay;
+      ez[n] += tot * doaz;
       etot[n] += tot;
     }
   }
@@ -602,6 +606,448 @@ void synth_ambisonic_one(const SceneCtx& sc, const Config& cfg,
   }
 }
 
+// ------------------------------------------------------------------- 3-D
+// Full vertical dimension (the reference engine is a 3-D bidirectional
+// tracer — SoundSpaces2.md:3-5; source heights matter throughout the
+// reference: the +1.5 m goal offset at simulator.py:390 and the dataset
+// height offsets at utils.py:15-39). Walls stay vertical extrusions of the
+// occupancy grid; floor and ceiling become per-cell height surfaces (the
+// heightfields tools/mesh_metadata.py rasterizes) with their OWN material
+// rows; rays march in 3-D and reflect off all six boundary kinds; the
+// spherical-harmonic encode gains real elevation.
+
+struct Scene3 {
+  Grid grid;
+  const float* floor_y;  // [h][w] per-cell floor height, may be null
+  const float* ceil_y;   // [h][w] per-cell ceiling height, may be null
+  float floor_default, ceil_default;
+  int floor_mat, ceil_mat;  // material-table rows for the two surfaces
+  std::vector<Corner> corners;
+
+  float floor_at(float x, float z, float cell) const {
+    if (!floor_y) return floor_default;
+    int gz = (int)std::lround(z / cell), gx = (int)std::lround(x / cell);
+    gz = std::max(0, std::min(grid.h - 1, gz));
+    gx = std::max(0, std::min(grid.w - 1, gx));
+    return floor_y[gz * grid.w + gx];
+  }
+  float ceil_at(float x, float z, float cell) const {
+    if (!ceil_y) return ceil_default;
+    int gz = (int)std::lround(z / cell), gx = (int)std::lround(x / cell);
+    gz = std::max(0, std::min(grid.h - 1, gz));
+    gx = std::max(0, std::min(grid.w - 1, gx));
+    return ceil_y[gz * grid.w + gx];
+  }
+};
+
+// March one energy ray through the 3-D scene. Horizontal wall logic matches
+// trace_ray; floor/ceiling hits reflect the vertical component with the
+// surface's own material (cosine-weighted diffuse bounce on scatter).
+bool trace_ray3(const Scene3& sc, const Config& cfg, float sx, float sy,
+                float sz, float rx, float ry, float rz, float dx, float dy,
+                float dz, XorShift& rng, BandEnergy& out) {
+  const Grid& grid = sc.grid;
+  float x = sx, y = sy, z = sz;
+  float path = 0.0f;
+  float energy[kNumBands];
+  for (int b = 0; b < kNumBands; ++b) energy[b] = 1.0f / cfg.num_rays;
+
+  const float step = cfg.grid_size * 0.25f;
+  const float max_path = cfg.rir_len * kSpeedOfSound / cfg.sampling_rate;
+  const float r2 = cfg.receiver_radius * cfg.receiver_radius;
+  int bounces = 0;
+  bool deposited = false;
+
+  while (path < max_path && bounces <= cfg.max_bounces) {
+    float nx = x + dx * step, ny = y + dy * step, nz = z + dz * step;
+    if (!grid.walkable_at(nx, nz, cfg.grid_size)) {
+      const Material& m =
+          cfg.materials[grid.material_at(nx, nz, cfg.grid_size,
+                                         cfg.n_materials)];
+      if (cfg.enable_transmission && m.t_mean > 0.0f &&
+          rng.uniform() < m.t_mean) {
+        for (int b = 0; b < kNumBands; ++b)
+          energy[b] *= (1.0f - m.absorption[b]) * m.transmission[b] / m.t_mean;
+        int guard = 0;
+        while (!grid.walkable_at(nx, nz, cfg.grid_size)) {
+          nx += dx * step; ny += dy * step; nz += dz * step; path += step;
+          if (++guard >= kMaxTransmissionMarch || path >= max_path)
+            return deposited;
+        }
+        x = nx; y = ny; z = nz; path += step;
+        ++bounces;
+        continue;
+      }
+      bool bx = !grid.walkable_at(nx, z, cfg.grid_size);
+      bool bz = !grid.walkable_at(x, nz, cfg.grid_size);
+      if (bx || !bz) dx = -dx;
+      if (bz || !bx) dz = -dz;
+      if (rng.uniform() < m.scattering) {
+        // scatter on the full sphere (walls are tall diffusers here)
+        float caz = rng.range(0.0f, 6.2831853f);
+        float cel = rng.range(-1.0f, 1.0f);
+        float se = std::sqrt(std::max(0.0f, 1.0f - cel * cel));
+        dx = se * std::cos(caz); dy = cel; dz = se * std::sin(caz);
+      }
+      float refl = 1.0f;
+      if (cfg.enable_transmission && m.t_mean > 0.0f)
+        refl = 1.0f / (1.0f - m.t_mean);
+      for (int b = 0; b < kNumBands; ++b) {
+        float keep = (1.0f - m.absorption[b]);
+        if (cfg.enable_transmission)
+          keep *= (1.0f - m.transmission[b]) * refl;
+        energy[b] *= keep;
+      }
+      ++bounces;
+      continue;
+    }
+    const float fl = sc.floor_at(nx, nz, cfg.grid_size);
+    const float cl = sc.ceil_at(nx, nz, cfg.grid_size);
+    if (ny < fl || ny > cl) {
+      const bool is_floor = ny < fl;
+      const Material& m =
+          cfg.materials[is_floor ? sc.floor_mat : sc.ceil_mat];
+      // reflect back to the side the ray currently occupies so the surface
+      // is never crossed (a source outside the floor/ceiling slab stays
+      // sealed off; ledges reflect an already-rising ray upward)
+      float away;
+      if (is_floor)
+        away = (y >= fl) ? 1.0f : -1.0f;
+      else
+        away = (y <= cl) ? -1.0f : 1.0f;
+      dy = away * std::fabs(dy);
+      if (rng.uniform() < m.scattering) {
+        // cosine-weighted diffuse bounce off the horizontal surface
+        float u = rng.uniform();
+        float cv = std::sqrt(u);  // |vertical| component
+        float se = std::sqrt(std::max(0.0f, 1.0f - cv * cv));
+        float caz = rng.range(0.0f, 6.2831853f);
+        dx = se * std::cos(caz);
+        dy = away * cv;
+        dz = se * std::sin(caz);
+      }
+      for (int b = 0; b < kNumBands; ++b)
+        energy[b] *= (1.0f - m.absorption[b]);
+      ++bounces;
+      continue;
+    }
+    x = nx; y = ny; z = nz; path += step;
+
+    float ddx = x - rx, ddy = y - ry, ddz = z - rz;
+    if (ddx * ddx + ddy * ddy + ddz * ddz < r2) {
+      float t = path / kSpeedOfSound;
+      int n = (int)(t * cfg.sampling_rate);
+      if (n >= 0 && n < cfg.rir_len) {
+        float air = std::exp(-cfg.air_absorption * path);
+        float dep[kNumBands];
+        for (int b = 0; b < kNumBands; ++b) dep[b] = energy[b] * air;
+        out.deposit(n, dep, -dx, -dz, -dy);  // DOA back along the ray
+        deposited = true;
+      }
+    }
+  }
+  return deposited;
+}
+
+// 3-D line-of-sight: the segment must stay in walkable cells AND between
+// the local floor and ceiling surfaces at every sample point.
+bool direct_path_clear3(const Scene3& sc, const Config& cfg, float rx,
+                        float ry, float rz, float sx, float sy, float sz) {
+  const float ddx = sx - rx, ddy = sy - ry, ddz = sz - rz;
+  const float dist = std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz);
+  int steps = (int)(dist / (cfg.grid_size * 0.25f));
+  for (int i = 1; i < steps; ++i) {
+    float t = (float)i / steps;
+    float px = rx + ddx * t, py = ry + ddy * t, pz = rz + ddz * t;
+    if (!sc.grid.walkable_at(px, pz, cfg.grid_size)) return false;
+    if (py < sc.floor_at(px, pz, cfg.grid_size) ||
+        py > sc.ceil_at(px, pz, cfg.grid_size))
+      return false;
+  }
+  return true;
+}
+
+// First-order diffraction over vertical edges with the height difference
+// unfolded into the bent path: the shortest source->edge->receiver path
+// touching a vertical line has length hypot(d1 + d2, sy - ry) (straight
+// line in the unfolded plane), crossing the edge at the interpolated
+// height. Leg clearance is checked in 3-D at that height.
+void add_diffraction3(const Scene3& sc, const Config& cfg, float sx, float sy,
+                      float sz, float rx, float ry, float rz,
+                      BandEnergy& acc) {
+  struct Cand {
+    float e0;
+    float len3, theta, doax, doay, doaz;
+  };
+  std::vector<Cand> cands;
+  const float dy_sr = sy - ry;
+  for (const Corner& c : sc.corners) {
+    float d1x = c.x - sx, d1z = c.z - sz;
+    float d2x = rx - c.x, d2z = rz - c.z;
+    float d1 = std::sqrt(d1x * d1x + d1z * d1z);
+    float d2 = std::sqrt(d2x * d2x + d2z * d2z);
+    if (d1 < 1e-4f || d2 < 1e-4f) continue;
+    // edge crossing height: linear interpolation along the unfolded path
+    float cy = sy + (ry - sy) * (d1 / (d1 + d2));
+    if (!direct_path_clear3(sc, cfg, sx, sy, sz, c.x, cy, c.z)) continue;
+    if (!direct_path_clear3(sc, cfg, c.x, cy, c.z, rx, ry, rz)) continue;
+    float dot = (d1x * d2x + d1z * d2z) / (d1 * d2);
+    dot = std::max(-1.0f, std::min(1.0f, dot));
+    float theta = std::acos(dot);
+    float len3 = std::sqrt((d1 + d2) * (d1 + d2) + dy_sr * dy_sr);
+    float amp = 1.0f / len3 * std::exp(-theta);
+    // DOA: from the corner (at crossing height) toward the receiver
+    float l2 = std::sqrt(d2 * d2 + (cy - ry) * (cy - ry)) + 1e-9f;
+    cands.push_back({amp * amp, len3, theta, -d2x / l2, -d2z / l2,
+                     -(ry - cy) / l2});
+  }
+  if (cands.empty()) return;
+  std::sort(cands.begin(), cands.end(),
+            [](const Cand& a, const Cand& b) { return a.e0 > b.e0; });
+  if ((int)cands.size() > kMaxDiffractionPaths)
+    cands.resize(kMaxDiffractionPaths);
+  static const float kBandSteep[kNumBands] = {0.7f, 1.1f, 1.8f, 2.8f};
+  for (const Cand& cd : cands) {
+    float t = cd.len3 / kSpeedOfSound;
+    int n = (int)(t * cfg.sampling_rate);
+    if (n < 0 || n >= cfg.rir_len) continue;
+    float air = std::exp(-cfg.air_absorption * cd.len3);
+    float dep[kNumBands];
+    for (int b = 0; b < kNumBands; ++b) {
+      float a = std::exp(-kBandSteep[b] * cd.theta) / cd.len3;
+      dep[b] = a * a * air;
+    }
+    acc.deposit(n, dep, cd.doax, cd.doay, cd.doaz);
+  }
+}
+
+// Stratified-uniform sphere directions: cos(elevation) stratified over the
+// ray index, golden-ratio azimuth rotation + jitter.
+void stochastic_field3(const Scene3& sc, const Config& cfg, float sx,
+                       float sy, float sz, float rx, float ry, float rz,
+                       uint64_t salt, BandEnergy& acc) {
+  for (int r = 0; r < cfg.num_rays; ++r) {
+    XorShift ray_rng(cfg.seed ^ salt ^
+                     (0x9e3779b97f4a7c15ull * (uint64_t)(r + 1)));
+    float cel = 1.0f - 2.0f * (r + ray_rng.uniform()) / cfg.num_rays;
+    float se = std::sqrt(std::max(0.0f, 1.0f - cel * cel));
+    float az = 6.2831853f * (r * 0.61803398875f + ray_rng.uniform());
+    trace_ray3(sc, cfg, sx, sy, sz, rx, ry, rz, se * std::cos(az), cel,
+               se * std::sin(az), ray_rng, acc);
+  }
+  if (cfg.enable_diffraction &&
+      !direct_path_clear3(sc, cfg, rx, ry, rz, sx, sy, sz))
+    add_diffraction3(sc, cfg, sx, sy, sz, rx, ry, rz, acc);
+}
+
+// Real spherical harmonics with elevation, ACN order, SN3D normalization.
+// Ambisonic frame: x_amb = +x (az 0), y_amb = +z (az 90 deg), z_amb = up.
+// `r` in [0, 1] scales every directional channel (0 = isotropic diffuse).
+inline void sh_gains3(float xa, float ya, float za, float r, int order,
+                      float* g /* [(order+1)^2] */) {
+  g[0] = 1.0f;
+  if (order >= 1) {
+    g[1] = r * ya;
+    g[2] = r * za;
+    g[3] = r * xa;
+  }
+  if (order >= 2) {
+    g[4] = r * 1.7320508f * xa * ya;
+    g[5] = r * 1.7320508f * ya * za;
+    g[6] = r * (1.5f * za * za - 0.5f);
+    g[7] = r * 1.7320508f * xa * za;
+    g[8] = r * 0.8660254f * (xa * xa - ya * ya);
+  }
+}
+
+// Shared diffuse-pressure synthesis: smoothed band envelopes * band noise.
+void diffuse_pressure(const Config& cfg, const BandEnergy& acc,
+                      uint64_t noise_seed, std::vector<float>& diffuse) {
+  const int len = cfg.rir_len;
+  diffuse.assign(len, 0.0f);
+  std::vector<float> carrier;
+  std::vector<float> envelope(len);
+  for (int b = 0; b < kNumBands; ++b) {
+    float ema = 0.0f;
+    const float a = cfg.ema_a;
+    for (int n = 0; n < len; ++n) {
+      ema = a * ema + (1 - a) * acc.e[b][n];
+      envelope[n] = std::sqrt(std::max(ema, 0.0f));
+    }
+    band_noise(b, len, cfg.sampling_rate, noise_seed + b, carrier);
+    for (int n = 0; n < len; ++n) diffuse[n] += envelope[n] * carrier[n];
+  }
+}
+
+// Binaural synthesis at one 3-D receiver pose: elevation shortens the
+// horizontal ITD/ILD cues (cos(el) projection of the Woodworth model) and
+// the direct arrival uses the true 3-D distance.
+void binaural_from_field3(const Scene3& sc, const Config& cfg,
+                          const BandEnergy& acc, uint64_t noise_seed,
+                          float rx, float ry, float rz, float heading,
+                          float sx, float sy, float sz,
+                          float* out /* [2][len] */) {
+  const int len = cfg.rir_len;
+  std::vector<float> diffuse;
+  diffuse_pressure(cfg, acc, noise_seed, diffuse);
+
+  const float ddx = sx - rx, ddy = sy - ry, ddz = sz - rz;
+  const float dh = std::sqrt(ddx * ddx + ddz * ddz);
+  const float dist = std::max(std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz),
+                              cfg.grid_size * 0.5f);
+  const float src_dir = std::atan2(ddz, ddx);
+  const float cos_el = dh / std::max(dist, 1e-6f);
+  const bool occluded =
+      !direct_path_clear3(sc, cfg, rx, ry, rz, sx, sy, sz);
+
+  const float rel = src_dir - heading;
+  const float itd = 0.09f / kSpeedOfSound * std::sin(rel) * cos_el;
+  const float ild = 0.5f + 0.4f * std::sin(rel) * cos_el;
+  for (int ch = 0; ch < 2; ++ch) {
+    float* dst = out + (size_t)ch * len;
+    const float ear_gain = (ch == 0) ? (1.0f - ild) : ild;
+    const float ear_itd = (ch == 0) ? -itd * 0.5f : itd * 0.5f;
+    for (int n = 0; n < len; ++n) dst[n] = 0.7f * diffuse[n];
+    if (!occluded) {
+      const float delay = dist / kSpeedOfSound + ear_itd;
+      const int n0 = (int)std::lround(delay * cfg.sampling_rate);
+      if (n0 >= 0 && n0 < len) dst[n0] += ear_gain / dist;
+    }
+  }
+}
+
+void synth_one3(const Scene3& sc, const Config& cfg, const float* points,
+                int receiver, const float* src_pos, int n_sources,
+                float* out /* [4][n_sources][2][len] */) {
+  const float rx = points[receiver * 3 + 0];
+  const float ry = points[receiver * 3 + 1];
+  const float rz = points[receiver * 3 + 2];
+  const int len = cfg.rir_len;
+
+  for (int si = 0; si < n_sources; ++si) {
+    const float sx = src_pos[si * 3 + 0];
+    const float sy = src_pos[si * 3 + 1];
+    const float sz = src_pos[si * 3 + 2];
+
+    BandEnergy acc(len);
+    stochastic_field3(sc, cfg, sx, sy, sz, rx, ry, rz,
+                      (uint64_t)(receiver * 73856093 + si * 19349663), acc);
+    std::vector<float> diffuse;
+    diffuse_pressure(cfg, acc,
+                     cfg.seed ^ (uint64_t)(receiver * 31 + si * 7), diffuse);
+
+    const float ddx = sx - rx, ddy = sy - ry, ddz = sz - rz;
+    const float dh = std::sqrt(ddx * ddx + ddz * ddz);
+    const float dist = std::max(
+        std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz), cfg.grid_size * 0.5f);
+    const float src_dir = std::atan2(ddz, ddx);
+    const float cos_el = dh / std::max(dist, 1e-6f);
+    const bool occluded =
+        !direct_path_clear3(sc, cfg, rx, ry, rz, sx, sy, sz);
+
+    for (int ai = 0; ai < 4; ++ai) {
+      // azimuth index ai = rotation -90*ai (simulator.py:568-573);
+      // elevation shortens the horizontal ITD/ILD cues (cos(el) projection
+      // of the Woodworth model), the delay uses the true 3-D distance
+      const float orient = (270.0f + 90.0f * ai) * 0.01745329252f;
+      const float rel = src_dir - orient;
+      const float itd = 0.09f / kSpeedOfSound * std::sin(rel) * cos_el;
+      const float ild = 0.5f + 0.4f * std::sin(rel) * cos_el;
+
+      for (int ch = 0; ch < 2; ++ch) {
+        float* dst = out + ((size_t)ai * n_sources + si) * 2 * len +
+                     (size_t)ch * len;
+        const float ear_gain = (ch == 0) ? (1.0f - ild) : ild;
+        const float ear_itd = (ch == 0) ? -itd * 0.5f : itd * 0.5f;
+        for (int n = 0; n < len; ++n) dst[n] = 0.7f * diffuse[n];
+        if (!occluded) {
+          const float delay = dist / kSpeedOfSound + ear_itd;
+          const int n0 = (int)std::lround(delay * cfg.sampling_rate);
+          if (n0 >= 0 && n0 < len) dst[n0] += ear_gain / dist;
+        }
+      }
+    }
+  }
+}
+
+void synth_ambisonic_one3(const Scene3& sc, const Config& cfg,
+                          const float* points, int receiver,
+                          const float* src_pos, int n_sources, int order,
+                          float* out /* [n_sources][n_sh][len] */) {
+  const int n_sh = (order + 1) * (order + 1);
+  const float rx = points[receiver * 3 + 0];
+  const float ry = points[receiver * 3 + 1];
+  const float rz = points[receiver * 3 + 2];
+  const int len = cfg.rir_len;
+
+  std::vector<float> carrier;
+  std::vector<float> wenv(len), dirx(len), diry(len), dirz(len), dirr(len);
+  float g[9];
+
+  for (int si = 0; si < n_sources; ++si) {
+    const float sx = src_pos[si * 3 + 0];
+    const float sy = src_pos[si * 3 + 1];
+    const float sz = src_pos[si * 3 + 2];
+
+    BandEnergy acc(len, /*directional=*/true);
+    stochastic_field3(sc, cfg, sx, sy, sz, rx, ry, rz,
+                      (uint64_t)(receiver * 73856093 + si * 19349663), acc);
+
+    // per-sample smoothed mean DOA (now with a vertical component) +
+    // directionality ratio
+    const float a = cfg.ema_a;
+    float emx = 0.0f, emy = 0.0f, emz = 0.0f, emt = 0.0f;
+    for (int n = 0; n < len; ++n) {
+      emx = a * emx + (1 - a) * acc.ex[n];
+      emy = a * emy + (1 - a) * acc.ey[n];
+      emz = a * emz + (1 - a) * acc.ez[n];
+      emt = a * emt + (1 - a) * acc.etot[n];
+      float mag = std::sqrt(emx * emx + emy * emy + emz * emz);
+      if (emt > 1e-20f && mag > 1e-20f) {
+        dirx[n] = emx / mag;
+        diry[n] = emy / mag;
+        dirz[n] = emz / mag;
+        dirr[n] = std::min(mag / emt, 1.0f);
+      } else {
+        dirx[n] = 1.0f; diry[n] = 0.0f; dirz[n] = 0.0f; dirr[n] = 0.0f;
+      }
+    }
+
+    float* dst0 = out + (size_t)si * n_sh * len;
+    std::memset(dst0, 0, sizeof(float) * (size_t)n_sh * len);
+
+    for (int b = 0; b < kNumBands; ++b) {
+      float ema = 0.0f;
+      for (int n = 0; n < len; ++n) {
+        ema = a * ema + (1 - a) * acc.e[b][n];
+        wenv[n] = std::sqrt(std::max(ema, 0.0f));
+      }
+      band_noise(b, len, cfg.sampling_rate,
+                 cfg.seed ^ (uint64_t)(receiver * 31 + si * 7 + b), carrier);
+      for (int n = 0; n < len; ++n) {
+        const float p = wenv[n] * carrier[n];
+        sh_gains3(dirx[n], diry[n], dirz[n], dirr[n], order, g);
+        for (int c = 0; c < n_sh; ++c) dst0[(size_t)c * len + n] += p * g[c];
+      }
+    }
+
+    // direct path: exact 3-D SH encoding of the arrival direction
+    const float ddx = sx - rx, ddy = sy - ry, ddz = sz - rz;
+    const float dist =
+        std::max(std::sqrt(ddx * ddx + ddy * ddy + ddz * ddz),
+                 cfg.grid_size * 0.5f);
+    if (direct_path_clear3(sc, cfg, rx, ry, rz, sx, sy, sz)) {
+      const int n0 =
+          (int)std::lround(dist / kSpeedOfSound * cfg.sampling_rate);
+      if (n0 >= 0 && n0 < len) {
+        sh_gains3(ddx / dist, ddz / dist, ddy / dist, 1.0f, order, g);
+        for (int c = 0; c < n_sh; ++c)
+          dst0[(size_t)c * len + n0] += g[c] / dist;
+      }
+    }
+  }
+}
+
 Config make_config(int sampling_rate, int rir_len, int num_rays,
                    int max_bounces, float grid_size, float air_absorption,
                    uint64_t seed, const Material* materials, int n_materials,
@@ -609,7 +1055,10 @@ Config make_config(int sampling_rate, int rir_len, int num_rays,
   Config cfg;
   cfg.sampling_rate = sampling_rate;
   cfg.rir_len = rir_len;
-  cfg.num_rays = std::max(num_rays, 1);
+  // num_rays = 0 is legal: a direct-path-only trace (no stochastic field),
+  // used by closed-form anchor tests; per-ray energy 1/num_rays is only
+  // evaluated inside the ray loop, which doesn't run.
+  cfg.num_rays = std::max(num_rays, 0);
   cfg.max_bounces = max_bounces;
   cfg.grid_size = grid_size;
   cfg.receiver_radius = grid_size * 0.6f;
@@ -644,6 +1093,22 @@ SceneCtx make_scene(const uint8_t* occ, const uint8_t* mat_id, int h, int w,
                     float grid_size, bool diffraction) {
   SceneCtx sc;
   sc.grid = Grid{occ, mat_id, h, w};
+  if (diffraction) sc.corners = find_corners(sc.grid, grid_size);
+  return sc;
+}
+
+Scene3 make_scene3(const uint8_t* occ, const uint8_t* mat_id, int h, int w,
+                   float grid_size, const float* floor_y, const float* ceil_y,
+                   float floor_default, float ceil_default, int floor_mat,
+                   int ceil_mat, int n_materials, bool diffraction) {
+  Scene3 sc;
+  sc.grid = Grid{occ, mat_id, h, w};
+  sc.floor_y = floor_y;
+  sc.ceil_y = ceil_y;
+  sc.floor_default = floor_default;
+  sc.ceil_default = ceil_default;
+  sc.floor_mat = std::max(0, std::min(floor_mat, n_materials - 1));
+  sc.ceil_mat = std::max(0, std::min(ceil_mat, n_materials - 1));
   if (diffraction) sc.corners = find_corners(sc.grid, grid_size);
   return sc;
 }
@@ -801,6 +1266,128 @@ int trace_rirs(const float* recv_xzh, int batch, const float* src_xz,
                        num_threads, out);
 }
 
+// ------------------------------------------------------ 3-D C ABI (ctypes)
+
+// 3-D binaural bank. points: float32 [n_nodes, 3] RECEIVER EAR positions
+// (x, y, z) with any ear-height offset already applied; src_pos: float32
+// [n_sources, 3] (the caller applies the reference's +1.5 m goal offset,
+// simulator.py:390). floor_y/ceil_y: float32 [grid_h, grid_w] per-cell
+// surface heights (tools/mesh_metadata.py heightfields) or null for flat
+// floor_default/ceil_default planes. floor_mat/ceil_mat index the material
+// table. out: float32 [4, n_nodes, n_sources, 2, rir_len].
+int synth_rir_bank_3d(const float* points, int n_nodes, const float* src_pos,
+                      int n_sources, const uint8_t* occupancy,
+                      const uint8_t* mat_id, int grid_h, int grid_w,
+                      float grid_size, const float* floor_y,
+                      const float* ceil_y, float floor_default,
+                      float ceil_default, int floor_mat, int ceil_mat,
+                      int sampling_rate, int rir_len, int num_rays,
+                      int max_bounces, const float* materials,
+                      int n_materials, float air_absorption,
+                      int enable_transmission, int enable_diffraction,
+                      uint64_t seed, int num_threads, float* out) {
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  Scene3 sc = make_scene3(occupancy, mat_id, grid_h, grid_w, grid_size,
+                          floor_y, ceil_y, floor_default, ceil_default,
+                          floor_mat, ceil_mat, (int)mats.size(),
+                          cfg.enable_diffraction);
+  const size_t per_receiver = (size_t)4 * n_sources * 2 * rir_len;
+  std::memset(out, 0, sizeof(float) * per_receiver * n_nodes);
+  run_pool(n_nodes, num_threads, [&](int r) {
+    std::vector<float> scratch(per_receiver);
+    synth_one3(sc, cfg, points, r, src_pos, n_sources, scratch.data());
+    for (int ai = 0; ai < 4; ++ai) {
+      float* dst =
+          out + (((size_t)ai * n_nodes + r) * n_sources) * 2 * rir_len;
+      const float* src =
+          scratch.data() + ((size_t)ai * n_sources) * 2 * rir_len;
+      std::memcpy(dst, src, sizeof(float) * (size_t)n_sources * 2 * rir_len);
+    }
+  });
+  return 0;
+}
+
+// 3-D ambisonic bank with elevation-dependent SH encoding.
+// out: float32 [n_nodes, n_sources, (order+1)^2, rir_len], ACN/SN3D.
+int synth_ambisonic_bank_3d(const float* points, int n_nodes,
+                            const float* src_pos, int n_sources,
+                            const uint8_t* occupancy, const uint8_t* mat_id,
+                            int grid_h, int grid_w, float grid_size,
+                            const float* floor_y, const float* ceil_y,
+                            float floor_default, float ceil_default,
+                            int floor_mat, int ceil_mat, int sampling_rate,
+                            int rir_len, int num_rays, int max_bounces,
+                            const float* materials, int n_materials,
+                            float air_absorption, int enable_transmission,
+                            int enable_diffraction, int ambisonic_order,
+                            uint64_t seed, int num_threads, float* out) {
+  if (ambisonic_order < 1 || ambisonic_order > 2) return -1;
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  Scene3 sc = make_scene3(occupancy, mat_id, grid_h, grid_w, grid_size,
+                          floor_y, ceil_y, floor_default, ceil_default,
+                          floor_mat, ceil_mat, (int)mats.size(),
+                          cfg.enable_diffraction);
+  const int n_sh = (ambisonic_order + 1) * (ambisonic_order + 1);
+  run_pool(n_nodes, num_threads, [&](int r) {
+    synth_ambisonic_one3(sc, cfg, points, r, src_pos, n_sources,
+                         ambisonic_order,
+                         out + (size_t)r * n_sources * n_sh * rir_len);
+  });
+  return 0;
+}
+
+// Per-step batched 3-D tracing at continuous poses.
+// recv_xyzh: float32 [batch, 4] = (x, y, z, heading rad) ear positions;
+// src_xyz: float32 [batch, 3]; out: float32 [batch, 2, rir_len].
+int trace_rirs_3d(const float* recv_xyzh, int batch, const float* src_xyz,
+                  const uint8_t* occupancy, const uint8_t* mat_id,
+                  int grid_h, int grid_w, float grid_size,
+                  const float* floor_y, const float* ceil_y,
+                  float floor_default, float ceil_default, int floor_mat,
+                  int ceil_mat, int sampling_rate, int rir_len, int num_rays,
+                  int max_bounces, const float* materials, int n_materials,
+                  float air_absorption, int enable_transmission,
+                  int enable_diffraction, uint64_t seed, int num_threads,
+                  float* out) {
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  Scene3 sc = make_scene3(occupancy, mat_id, grid_h, grid_w, grid_size,
+                          floor_y, ceil_y, floor_default, ceil_default,
+                          floor_mat, ceil_mat, (int)mats.size(),
+                          cfg.enable_diffraction);
+  run_pool(batch, num_threads, [&](int i) {
+    const float rx = recv_xyzh[i * 4 + 0];
+    const float ry = recv_xyzh[i * 4 + 1];
+    const float rz = recv_xyzh[i * 4 + 2];
+    const float heading = recv_xyzh[i * 4 + 3];
+    const float sx = src_xyz[i * 3 + 0];
+    const float sy = src_xyz[i * 3 + 1];
+    const float sz = src_xyz[i * 3 + 2];
+    const uint64_t pose_salt =
+        (uint64_t)(int64_t)std::lround(rx * 512.0f) * 73856093ull ^
+        (uint64_t)(int64_t)std::lround(rz * 512.0f) * 19349663ull ^
+        (uint64_t)(int64_t)std::lround(sx * 512.0f) * 83492791ull ^
+        (uint64_t)(int64_t)std::lround(sz * 512.0f);
+    BandEnergy acc(cfg.rir_len);
+    stochastic_field3(sc, cfg, sx, sy, sz, rx, ry, rz, pose_salt, acc);
+    binaural_from_field3(sc, cfg, acc, cfg.seed ^ pose_salt, rx, ry, rz,
+                         heading, sx, sy, sz,
+                         out + (size_t)i * 2 * cfg.rir_len);
+  });
+  return 0;
+}
+
 // Physical sanity probes — the AudioSensor's sourceIsVisible() /
 // getRayEfficiency() surface (SoundSpaces2 quick tutorial notebook).
 // recv_xz: float32 [batch, 2]; src_xz: float32 [batch, 2];
@@ -832,7 +1419,7 @@ int ray_stats(const float* recv_xz, int batch, const float* src_xz,
                     ray_rng, acc))
         ++hit;
     }
-    out[i * 2 + 0] = (float)hit / cfg.num_rays;
+    out[i * 2 + 0] = cfg.num_rays > 0 ? (float)hit / cfg.num_rays : 0.0f;
     out[i * 2 + 1] =
         direct_path_clear(grid, cfg, rx, rz, sx, sz) ? 1.f : 0.f;
   });

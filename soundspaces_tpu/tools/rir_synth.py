@@ -122,6 +122,39 @@ def _load():
             ctypes.c_uint64, ctypes.c_int,  # seed, num_threads
             ctypes.POINTER(ctypes.c_float),  # out
         ]
+        # 3-D entry points (full vertical dimension: floor/ceiling
+        # heightfields + material rows, elevation-aware SH/binaural)
+        _common_3d_mid = [
+            _u8p, _u8p, ctypes.c_int, ctypes.c_int,  # occ, mat_id, h, w
+            ctypes.c_float,                    # grid_size
+            _f32p, _f32p,                      # floor_y, ceil_y (or null)
+            ctypes.c_float, ctypes.c_float,    # floor_default, ceil_default
+            ctypes.c_int, ctypes.c_int,        # floor_mat, ceil_mat
+            ctypes.c_int, ctypes.c_int,        # sampling_rate, rir_len
+            ctypes.c_int, ctypes.c_int,        # num_rays, max_bounces
+            _f32p, ctypes.c_int,               # materials [n,9], n_materials
+            ctypes.c_float,                    # air_absorption
+            ctypes.c_int, ctypes.c_int,        # transmission, diffraction
+        ]
+        _lib.synth_rir_bank_3d.restype = ctypes.c_int
+        _lib.synth_rir_bank_3d.argtypes = (
+            [_f32p, ctypes.c_int, _f32p, ctypes.c_int]  # points, src_pos
+            + _common_3d_mid
+            + [ctypes.c_uint64, ctypes.c_int, _f32p]    # seed, threads, out
+        )
+        _lib.synth_ambisonic_bank_3d.restype = ctypes.c_int
+        _lib.synth_ambisonic_bank_3d.argtypes = (
+            [_f32p, ctypes.c_int, _f32p, ctypes.c_int]
+            + _common_3d_mid
+            + [ctypes.c_int,                            # ambisonic_order
+               ctypes.c_uint64, ctypes.c_int, _f32p]
+        )
+        _lib.trace_rirs_3d.restype = ctypes.c_int
+        _lib.trace_rirs_3d.argtypes = (
+            [_f32p, ctypes.c_int, _f32p]       # recv_xyzh, batch, src_xyz
+            + _common_3d_mid
+            + [ctypes.c_uint64, ctypes.c_int, _f32p]
+        )
         _lib.ray_stats.restype = ctypes.c_int
         _lib.ray_stats.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,  # recv_xz, batch
@@ -435,6 +468,325 @@ class PoseTracer:
             self._absorption.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_float(self.scattering),
             ctypes.c_float(self.air_absorption),
+            ctypes.c_uint64(self.seed),
+            self.num_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert ret == 0
+        return out
+
+
+# ------------------------------------------------------------------- 3-D API
+# Full vertical dimension: the reference engine traces in 3-D
+# (SoundSpaces2.md:3-5) and source heights matter throughout it (the +1.5 m
+# goal offset, simulator.py:390; dataset height offsets, utils.py:15-39).
+# Floor and ceiling are per-cell height surfaces with their own material
+# rows; receivers/sources carry real y coordinates.
+
+#: the reference's sensor/goal elevation offset above the navigation node
+#: (simulator.py:390 sets the audio source 1.5 m above the goal position)
+REFERENCE_HEIGHT_OFFSET = 1.5
+
+
+def heightfields_from_graph(
+    graph: SceneGraph, room_height: float = 3.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-cell (floor, ceiling) heightfields [h, w] float32 from the graph
+    node elevations (each node's y is its cell's floor height — the same
+    per-cell floor the mesh_metadata heightfield rasterizer extracts).
+    Cells without a node get the scene's minimum floor height."""
+    occ, origin = occupancy_from_graph(graph)
+    pts = graph.points
+    gx = np.round((pts[:, 0] - origin[0]) / graph.grid_size).astype(np.int64)
+    gz = np.round((pts[:, 2] - origin[1]) / graph.grid_size).astype(np.int64)
+    floor = np.full(occ.shape, float(pts[:, 1].min()), np.float32)
+    floor[gz, gx] = pts[:, 1].astype(np.float32)
+    return floor, floor + np.float32(room_height)
+
+
+def _f32p_or_null(arr):
+    if arr is None:
+        return ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _scene3_args(graph, occ, origin, floor, ceil, room_height,
+                 floor_default, ceil_default):
+    """Resolve (floor_arr, ceil_arr, floor_default, ceil_default) with
+    origin-shifted heightfields derived from the graph when not given."""
+    if floor is None and ceil is None and floor_default is None:
+        floor, ceil = heightfields_from_graph(graph, room_height)
+    if floor is not None:
+        floor = np.ascontiguousarray(floor, np.float32)
+        assert floor.shape == occ.shape, (floor.shape, occ.shape)
+    if ceil is not None:
+        ceil = np.ascontiguousarray(ceil, np.float32)
+        assert ceil.shape == occ.shape, (ceil.shape, occ.shape)
+    fd = 0.0 if floor_default is None else float(floor_default)
+    cd = fd + room_height if ceil_default is None else float(ceil_default)
+    return floor, ceil, fd, cd
+
+
+def synth_rir_bank_native_3d(
+    graph: SceneGraph,
+    goal_nodes: np.ndarray,
+    sampling_rate: int,
+    rir_max_len: int,
+    num_rays: int = 500,
+    max_bounces: int = 40,
+    absorption: tuple[float, float, float, float] = (0.08, 0.1, 0.14, 0.2),
+    scattering: float = 0.3,
+    air_absorption: float = 0.005,
+    seed: int = 0,
+    num_threads: int = 0,
+    materials=None,
+    material_grid: np.ndarray | None = None,
+    transmission: bool = False,
+    diffraction: bool = False,
+    receiver_height: float = REFERENCE_HEIGHT_OFFSET,
+    source_height: float = REFERENCE_HEIGHT_OFFSET,
+    room_height: float = 3.0,
+    floor: np.ndarray | None = None,
+    ceil: np.ndarray | None = None,
+    floor_default: float | None = None,
+    ceil_default: float | None = None,
+    floor_material: int = 0,
+    ceil_material: int = 0,
+) -> np.ndarray:
+    """Binaural RIRs [4, N, G, 2, rir_max_len] traced in full 3-D: rays
+    reflect off walls AND the floor/ceiling surfaces (their own material
+    rows `floor_material`/`ceil_material`), receivers sit at node y +
+    `receiver_height`, sources at goal-node y + `source_height` (the
+    reference's +1.5 m offset, simulator.py:390). `floor`/`ceil` take
+    explicit [h, w] heightfields (tools/mesh_metadata.py rasterization);
+    by default they derive from the graph's node elevations with a flat
+    `room_height` ceiling."""
+    lib = _load()
+    occ, origin = occupancy_from_graph(graph)
+    pts = graph.points.astype(np.float32).copy()
+    pts[:, 0] -= origin[0]
+    pts[:, 2] -= origin[1]
+    recv = pts.copy()
+    recv[:, 1] += np.float32(receiver_height)
+    sources = np.asarray(goal_nodes, np.int64)
+    src_pos = pts[sources].copy()
+    src_pos[:, 1] += np.float32(source_height)
+    out = np.zeros(
+        (4, graph.num_nodes, len(sources), 2, rir_max_len), np.float32
+    )
+    flat, mat_id = _material_args(
+        absorption, scattering, materials, material_grid, occ
+    )
+    floor, ceil, fd, cd = _scene3_args(
+        graph, occ, origin, floor, ceil, room_height, floor_default,
+        ceil_default,
+    )
+    ret = lib.synth_rir_bank_3d(
+        recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        graph.num_nodes,
+        src_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(sources),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _mat_ptr(mat_id),
+        occ.shape[0],
+        occ.shape[1],
+        ctypes.c_float(graph.grid_size),
+        _f32p_or_null(floor),
+        _f32p_or_null(ceil),
+        ctypes.c_float(fd),
+        ctypes.c_float(cd),
+        int(floor_material),
+        int(ceil_material),
+        sampling_rate,
+        rir_max_len,
+        num_rays,
+        max_bounces,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(flat),
+        ctypes.c_float(air_absorption),
+        int(transmission),
+        int(diffraction),
+        ctypes.c_uint64(seed),
+        num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    assert ret == 0
+    return out
+
+
+def synth_ambisonic_bank_native_3d(
+    graph: SceneGraph,
+    goal_nodes: np.ndarray,
+    sampling_rate: int,
+    rir_max_len: int,
+    order: int = 1,
+    num_rays: int = 500,
+    max_bounces: int = 40,
+    absorption: tuple[float, float, float, float] = (0.08, 0.1, 0.14, 0.2),
+    scattering: float = 0.3,
+    air_absorption: float = 0.005,
+    seed: int = 0,
+    num_threads: int = 0,
+    materials=None,
+    material_grid: np.ndarray | None = None,
+    transmission: bool = False,
+    diffraction: bool = False,
+    receiver_height: float = REFERENCE_HEIGHT_OFFSET,
+    source_height: float = REFERENCE_HEIGHT_OFFSET,
+    room_height: float = 3.0,
+    floor: np.ndarray | None = None,
+    ceil: np.ndarray | None = None,
+    floor_default: float | None = None,
+    ceil_default: float | None = None,
+    floor_material: int = 0,
+    ceil_material: int = 0,
+) -> np.ndarray:
+    """Ambisonic RIR bank [N, G, (order+1)^2, rir_max_len] ACN/SN3D traced
+    in 3-D — the vertical harmonics (Z, T, S) carry real elevation content,
+    unlike the horizontal-plane bank of synth_ambisonic_bank_native."""
+    lib = _load()
+    occ, origin = occupancy_from_graph(graph)
+    pts = graph.points.astype(np.float32).copy()
+    pts[:, 0] -= origin[0]
+    pts[:, 2] -= origin[1]
+    recv = pts.copy()
+    recv[:, 1] += np.float32(receiver_height)
+    sources = np.asarray(goal_nodes, np.int64)
+    src_pos = pts[sources].copy()
+    src_pos[:, 1] += np.float32(source_height)
+    n_sh = (order + 1) ** 2
+    out = np.zeros(
+        (graph.num_nodes, len(sources), n_sh, rir_max_len), np.float32
+    )
+    flat, mat_id = _material_args(
+        absorption, scattering, materials, material_grid, occ
+    )
+    floor, ceil, fd, cd = _scene3_args(
+        graph, occ, origin, floor, ceil, room_height, floor_default,
+        ceil_default,
+    )
+    ret = lib.synth_ambisonic_bank_3d(
+        recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        graph.num_nodes,
+        src_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(sources),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _mat_ptr(mat_id),
+        occ.shape[0],
+        occ.shape[1],
+        ctypes.c_float(graph.grid_size),
+        _f32p_or_null(floor),
+        _f32p_or_null(ceil),
+        ctypes.c_float(fd),
+        ctypes.c_float(cd),
+        int(floor_material),
+        int(ceil_material),
+        sampling_rate,
+        rir_max_len,
+        num_rays,
+        max_bounces,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(flat),
+        ctypes.c_float(air_absorption),
+        int(transmission),
+        int(diffraction),
+        order,
+        ctypes.c_uint64(seed),
+        num_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    assert ret == 0
+    return out
+
+
+class PoseTracer3D:
+    """Per-step 3-D RIR tracing at continuous poses (x, y, z, heading) —
+    the elevation-aware upgrade of PoseTracer. Receiver y is the EAR
+    height (caller applies any offset); source positions are full 3-D."""
+
+    def __init__(
+        self,
+        graph: SceneGraph,
+        sampling_rate: int,
+        rir_max_len: int,
+        num_rays: int = 500,
+        max_bounces: int = 40,
+        absorption: tuple[float, float, float, float] = (0.08, 0.1, 0.14, 0.2),
+        scattering: float = 0.3,
+        air_absorption: float = 0.005,
+        seed: int = 0,
+        num_threads: int = 0,
+        materials=None,
+        material_grid: np.ndarray | None = None,
+        transmission: bool = False,
+        diffraction: bool = False,
+        room_height: float = 3.0,
+        floor: np.ndarray | None = None,
+        ceil: np.ndarray | None = None,
+        floor_default: float | None = None,
+        ceil_default: float | None = None,
+        floor_material: int = 0,
+        ceil_material: int = 0,
+    ):
+        self._lib = _load()
+        self._occ, self._origin = occupancy_from_graph(graph)
+        self.grid_size = float(graph.grid_size)
+        self.sampling_rate = sampling_rate
+        self.rir_max_len = rir_max_len
+        self.num_rays = num_rays
+        self.max_bounces = max_bounces
+        self.air_absorption = air_absorption
+        self.seed = seed
+        self.num_threads = num_threads
+        self._materials, self._mat_id = _material_args(
+            absorption, scattering, materials, material_grid, self._occ
+        )
+        self.transmission = bool(transmission)
+        self.diffraction = bool(diffraction)
+        self._floor, self._ceil, self._fd, self._cd = _scene3_args(
+            graph, self._occ, self._origin, floor, ceil, room_height,
+            floor_default, ceil_default,
+        )
+        self.floor_material = int(floor_material)
+        self.ceil_material = int(ceil_material)
+
+    def __call__(
+        self, recv_xyzh: np.ndarray, src_xyz: np.ndarray
+    ) -> np.ndarray:
+        """recv_xyzh [B, 4] world (x, y, z, heading rad); src_xyz [B, 3]
+        world. Returns [B, 2, rir_max_len] float32."""
+        recv = np.ascontiguousarray(recv_xyzh, np.float32).copy()
+        src = np.ascontiguousarray(src_xyz, np.float32).copy()
+        recv[:, 0] -= self._origin[0]
+        recv[:, 2] -= self._origin[1]
+        src[:, 0] -= self._origin[0]
+        src[:, 2] -= self._origin[1]
+        b = recv.shape[0]
+        out = np.zeros((b, 2, self.rir_max_len), np.float32)
+        ret = self._lib.trace_rirs_3d(
+            recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _mat_ptr(self._mat_id),
+            self._occ.shape[0],
+            self._occ.shape[1],
+            ctypes.c_float(self.grid_size),
+            _f32p_or_null(self._floor),
+            _f32p_or_null(self._ceil),
+            ctypes.c_float(self._fd),
+            ctypes.c_float(self._cd),
+            self.floor_material,
+            self.ceil_material,
+            self.sampling_rate,
+            self.rir_max_len,
+            self.num_rays,
+            self.max_bounces,
+            self._materials.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(self._materials),
+            ctypes.c_float(self.air_absorption),
+            int(self.transmission),
+            int(self.diffraction),
             ctypes.c_uint64(self.seed),
             self.num_threads,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
