@@ -351,6 +351,21 @@ def build_env(
                 assets.graph, cfg.data.sampling_rate, cfg.data.rir_max_len,
                 num_rays=c.num_rays,
             )
+        if c.rir_source == "tracer3d":
+            from soundspaces_tpu.tools.rir_synth import (
+                HorizontalPoseAdapter,
+                PoseTracer3D,
+            )
+
+            tracer = HorizontalPoseAdapter(
+                PoseTracer3D(
+                    assets.graph, cfg.data.sampling_rate,
+                    cfg.data.rir_max_len, num_rays=c.num_rays,
+                    room_height=c.room_height,
+                ),
+                receiver_height=c.receiver_height,
+                source_height=c.source_height,
+            )
         if c.rir_source == "neural":
             # distill the tracer into an on-device field at setup, then the
             # tracer is no longer needed per step

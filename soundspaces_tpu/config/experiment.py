@@ -85,11 +85,20 @@ class ContinuousOverrides:
     use_crossfade: bool = True
     success_distance: float = 0.36
     # per-step RIR source: "bank" (precomputed HBM gather), "tracer" (fresh
-    # native ray trace at the exact pose, SS2.0's AudioSensor), "parametric"
-    # (on-device closed-form synthesis), or "neural" (a NeuralRIRField
-    # distilled from the tracer at setup, then served fully on device)
+    # native ray trace at the exact pose, SS2.0's AudioSensor), "tracer3d"
+    # (same but the full 3-D engine: floor/ceiling reflections, source
+    # heights, elevation cues — csrc/rir_tracer.cpp 3-D section),
+    # "parametric" (on-device closed-form synthesis), or "neural" (a
+    # NeuralRIRField distilled from the tracer at setup, then served fully
+    # on device)
     rir_source: str = "bank"
     num_rays: int = 500  # indirectRayCount (continuous_simulator.py:123)
+    # tracer3d elevation geometry: ear/source offsets above the local floor
+    # (the reference's 1.5 m agent sensor + goal offsets, simulator.py:390)
+    # and the flat-ceiling height over the graph floor heightfield
+    receiver_height: float = 1.5
+    source_height: float = 1.5
+    room_height: float = 3.0
     # rir_source="neural" distillation budget (ops/neural_rir.py)
     neural_distill_samples: int = 512
     neural_distill_steps: int = 1000

@@ -9,7 +9,9 @@ previous step's RIR (428-456, 47-53).
 TPU-native: continuous pose (x, z, heading) with occupancy-grid collision;
 the per-pose RIR comes from the HBM bank at the nearest graph node and
 nearest 90-degree azimuth ("bank"), a fresh native C++ ray trace at the
-exact pose via host callback ("tracer", tools/rir_synth.py), fully
+exact pose via host callback ("tracer"; "tracer3d" for the full 3-D
+engine with floor/ceiling reflections and source heights —
+tools/rir_synth.py), fully
 on-device parametric synthesis at the exact pose ("parametric",
 ops/parametric_rir.py), or a tracer-distilled neural field ("neural",
 ops/neural_rir.py). Audio windowing and crossfade follow the
@@ -41,7 +43,7 @@ from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGH
 
 # rir_source values that render a FRESH pose-exact RIR each step (carried in
 # state.rir/prev_rir) rather than gathering the precomputed bank
-FRESH_RIR_SOURCES = ("tracer", "parametric", "neural")
+FRESH_RIR_SOURCES = ("tracer", "tracer3d", "parametric", "neural")
 
 
 def add_step_window_table(scene: DeviceScene, step_time: float) -> DeviceScene:
@@ -218,9 +220,10 @@ class ContinuousAudioNavEnv:
             "path would silently be dropped otherwise)"
         )
         self._tracer = tracer
-        if config.rir_source == "tracer":
+        if config.rir_source in ("tracer", "tracer3d"):
             assert tracer is not None, (
-                "rir_source='tracer' needs a PoseTracer (tools.rir_synth)"
+                "rir_source='tracer' needs a PoseTracer (tools.rir_synth); "
+                "'tracer3d' a HorizontalPoseAdapter over PoseTracer3D"
             )
             assert tracer.rir_max_len == scene.rir_max_len
         self._neural_net, self._neural_params = (None, None)
@@ -459,7 +462,7 @@ class ContinuousAudioNavEnv:
         neural RIR field (ops/neural_rir.py). `src_node` overrides the
         source position (distractor rendering)."""
         src = state.goal_node if src_node is None else src_node
-        if self.config.rir_source == "tracer":
+        if self.config.rir_source in ("tracer", "tracer3d"):
             return self._traced_rir(
                 scene, state.x, state.z, state.heading, src
             )

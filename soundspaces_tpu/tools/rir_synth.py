@@ -793,3 +793,56 @@ class PoseTracer3D:
         )
         assert ret == 0
         return out
+
+
+class HorizontalPoseAdapter:
+    """PoseTracer-compatible facade over PoseTracer3D for the continuous
+    env's host-callback contract ((recv [B, 3] = x, z, heading; src [B, 2])
+    -> [B, 2, L]): poses are lifted to 3-D with the per-cell floor height
+    plus fixed ear/source offsets — SS2.0 agents steer in the plane but the
+    reference engine traces their RIRs in 3-D (SoundSpaces2.md:3-5,
+    continuous_simulator.py:341 sets the source 1.5 m up)."""
+
+    def __init__(
+        self,
+        tracer3d: PoseTracer3D,
+        receiver_height: float = REFERENCE_HEIGHT_OFFSET,
+        source_height: float = REFERENCE_HEIGHT_OFFSET,
+    ):
+        self.tracer = tracer3d
+        self.receiver_height = float(receiver_height)
+        self.source_height = float(source_height)
+        self.rir_max_len = tracer3d.rir_max_len
+
+    def _floor_at(self, x: np.ndarray, z: np.ndarray) -> np.ndarray:
+        t = self.tracer
+        if t._floor is None:
+            return np.full(x.shape, t._fd, np.float32)
+        gx = np.clip(
+            np.round((x - t._origin[0]) / t.grid_size).astype(np.int64),
+            0, t._floor.shape[1] - 1,
+        )
+        gz = np.clip(
+            np.round((z - t._origin[1]) / t.grid_size).astype(np.int64),
+            0, t._floor.shape[0] - 1,
+        )
+        return t._floor[gz, gx]
+
+    def __call__(
+        self, recv_xzh: np.ndarray, src_xz: np.ndarray
+    ) -> np.ndarray:
+        recv_xzh = np.asarray(recv_xzh, np.float32)
+        src_xz = np.asarray(src_xz, np.float32)
+        recv = np.empty((recv_xzh.shape[0], 4), np.float32)
+        recv[:, 0] = recv_xzh[:, 0]
+        recv[:, 1] = (
+            self._floor_at(recv_xzh[:, 0], recv_xzh[:, 1])
+            + self.receiver_height
+        )
+        recv[:, 2] = recv_xzh[:, 1]
+        recv[:, 3] = recv_xzh[:, 2]
+        src = np.empty((src_xz.shape[0], 3), np.float32)
+        src[:, 0] = src_xz[:, 0]
+        src[:, 1] = self._floor_at(src_xz[:, 0], src_xz[:, 1]) + self.source_height
+        src[:, 2] = src_xz[:, 1]
+        return self.tracer(recv, src)

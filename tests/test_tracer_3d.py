@@ -268,3 +268,74 @@ def test_binaural_bank_3d_layout_and_height_offsets():
     want = int(round(np.hypot(4 * GS, 1.5) / C * sr))
     assert abs(n_hi - want) <= 2
     assert n_hi > n0
+
+
+# ----------------------------------------------------- continuous rir_source
+
+def test_continuous_tracer3d_mode():
+    """rir_source='tracer3d': the SS2.0 per-step fresh-RIR path served by
+    the 3-D engine through the HorizontalPoseAdapter — planar poses are
+    lifted by the floor heightfield + the reference's 1.5 m ear/source
+    offsets (continuous_simulator.py:341), so the direct arrival moves to
+    the 3-D distance when the ear and source heights differ."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.env import DeviceScene, make_episode_bank
+    from soundspaces_tpu.env.continuous import (
+        ContinuousAudioNavEnv,
+        ContinuousConfig,
+    )
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.tools.rir_synth import (
+        HorizontalPoseAdapter,
+        PoseTracer,
+        PoseTracer3D,
+    )
+
+    sr = 4000
+    assets = make_synthetic_assets(
+        num_nodes_hint=24, sampling_rate=sr, rir_max_len=1000, image_size=8,
+        num_sounds=1, max_secs=2, seed=41,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(assets, 8, seed=42, min_geodesic_hops=3)
+    adapter = HorizontalPoseAdapter(
+        PoseTracer3D(assets.graph, sr, 1000, num_rays=60, num_threads=2,
+                     room_height=3.0),
+        receiver_height=1.5, source_height=1.5,
+    )
+    env = ContinuousAudioNavEnv(
+        ContinuousConfig(sensors=("audiogoal", "spectrogram"),
+                         rir_source="tracer3d", use_crossfade=True),
+        scene, episodes, num_envs=2, tracer=adapter,
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    ag = np.asarray(obs["audiogoal"])
+    assert ag.shape == (2, 2, sr) and np.isfinite(ag).all()
+    assert (np.abs(ag).max(axis=(1, 2)) > 0).all()
+    state1, obs1, _, _, _ = env.step(state, jnp.ones((2,), jnp.int32))
+    assert np.isfinite(np.asarray(obs1["audiogoal"])).all()
+
+    # elevation geometry: with the ear at the floor and the source 1.5 m up,
+    # the 3-D adapter's direct arrival lands at sqrt(d^2 + 1.5^2)/c while the
+    # 2-D tracer (horizontal-plane engine) keeps it at d/c
+    g = np.asarray(scene.points)
+    goal = int(np.asarray(state.goal_node)[0])
+    d_all = np.hypot(g[:, 0] - g[goal, 0], g[:, 2] - g[goal, 2])
+    probe = int(np.argmax(d_all))
+    d = float(d_all[probe])
+    recv = np.array([[g[probe, 0], g[probe, 2], 0.0]], np.float32)
+    src = np.array([[g[goal, 0], g[goal, 2]]], np.float32)
+    low_ear = HorizontalPoseAdapter(
+        PoseTracer3D(assets.graph, sr, 1000, num_rays=0, num_threads=1,
+                     room_height=30.0),
+        receiver_height=0.0, source_height=1.5,
+    )
+    ir3 = low_ear(recv, src)[0]
+    n3 = first_arrival(ir3)
+    want = int(round(np.hypot(d, 1.5) / C * sr))
+    assert abs(n3 - want) <= 2, (n3, want)
+    flat = PoseTracer(assets.graph, sr, 1000, num_rays=0, num_threads=1)
+    n2 = first_arrival(flat(recv, src)[0])
+    assert n3 > n2
