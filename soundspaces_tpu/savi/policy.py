@@ -214,8 +214,16 @@ class SMTPolicy(nn.Module):
             logits = jnp.broadcast_to(logits, (t_len,) + logits.shape)
             values = jnp.broadcast_to(values, (t_len,) + values.shape)
         else:
+            # Remat PER STEP: differentiating a scan otherwise stacks every
+            # step's transformer residuals across T — f32[T, N, heads,
+            # mem+1, mem+1] attention alone is 1.75 GB at the realistic
+            # recipe (T=150, N=16, mem=150) and OOMed the 16 GB chip.
+            # Checkpointing the step body stores only each step's carry
+            # (the memory snapshot) and recomputes the attention inside the
+            # backward sweep: peak drops ~12 GB for ~1.3x replay FLOPs.
             _, (logits, values) = jax.lax.scan(
-                step, initial_state, (observations, actions, dones)
+                jax.checkpoint(step), initial_state,
+                (observations, actions, dones),
             )
         logp = jax.nn.log_softmax(logits)
         alp = jnp.take_along_axis(logp, actions[..., None], -1)[..., 0]

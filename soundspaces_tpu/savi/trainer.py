@@ -44,12 +44,6 @@ class SAViConfig:
     # trains/logs) — measures how much the predicted beliefs actually help
     # (VERDICT round-1 item #7)
     ablate_beliefs: bool = False
-    # rematerialize the PPO evaluate_actions pass: without it the backward
-    # stores the SMT attention scores for every rollout step at once
-    # ([T*B, nhead, M+1, M+1] — 2.8 GB at T=150/B=16/M=150), which OOMs a
-    # 16 GB chip alongside a multi-GB RIR bank; remat recomputes them in
-    # the backward instead (same numbers, ~1.3x update FLOPs)
-    remat_evaluate: bool = True
 
 
 @struct.dataclass
@@ -438,8 +432,10 @@ class SAViTrainer:
                 method=self.policy.evaluate_actions,
             )
 
-        if savi.remat_evaluate:
-            eval_apply = jax.checkpoint(eval_apply)
+        # NOTE: evaluate_actions remats its replay PER STEP internally
+        # (savi/policy.py) — wrapping the whole eval in jax.checkpoint here
+        # would not cap the peak (the rematerialized forward still stacks
+        # all T steps' attention residuals at once) and only adds FLOPs.
 
         def loss_fn(params, bparams, traj, init_pstate, adv, returns, clip):
             obs_b = jax.vmap(
