@@ -45,11 +45,14 @@ STEPS = [
     ),
     (
         "savi_ablate",
+        # zeroed-belief ablation at MATCHED compute (same updates, same
+        # architecture, same online predictor training — only the belief
+        # information the policy sees is zeroed), so beliefs-ON vs ablated
+        # is a fair paired comparison (SAViConfig.ablate_beliefs)
         JOB + ["--exp-config", "configs/realistic_semantic.yaml",
                "--model-dir", f"{MODELS}/savi_r4_ablate",
                "--eval-interval", "4",
-               "smt.use_belief_predictor=false",
-               "trainer.num_updates=1200"],
+               "smt.ablate_beliefs=true"],
         {f"{MODELS}/savi_r4_ablate/train.log":
             "realistic_savi_r4_ablate_train.jsonl",
          f"{MODELS}/savi_r4_ablate/val.log":
