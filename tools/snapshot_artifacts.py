@@ -1,0 +1,58 @@
+"""Commit in-flight chip-queue artifacts (idempotent, run from cron).
+
+The queue commits artifacts only when a step ENDS; if the round is cut
+mid-step, hours of training curve would sit uncommitted in /tmp (the
+round-3 failure mode: claimed artifacts that never landed). This copies
+every model dir's train/val/test logs into results/ under their queue
+artifact names and commits when anything changed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from chip_queue_r4 import STEPS
+
+    copied = []
+    for _, _, artifacts, _ in STEPS:
+        for src, dst in artifacts.items():
+            if src == "__json_stdout__":
+                continue
+            out = os.path.join(REPO, "results", dst)
+            if not (os.path.exists(src) and os.path.getsize(src) > 0):
+                continue
+            if os.path.exists(out) and (
+                os.path.getsize(out) == os.path.getsize(src)
+                and os.path.getmtime(out) >= os.path.getmtime(src)
+            ):
+                continue
+            shutil.copyfile(src, out)
+            copied.append(f"results/{dst}")
+    if not copied:
+        print("nothing new")
+        return
+    subprocess.run(["git", "add"] + copied, cwd=REPO, check=True)
+    r = subprocess.run(
+        ["git", "diff", "--cached", "--quiet"], cwd=REPO
+    )
+    if r.returncode != 0:
+        subprocess.run(
+            ["git", "commit", "-q", "-m",
+             "Realistic chip queue: periodic in-flight artifact snapshot"],
+            cwd=REPO, check=True,
+        )
+        print("committed", copied)
+    else:
+        print("no content change")
+
+
+if __name__ == "__main__":
+    main()
