@@ -88,11 +88,15 @@ def build_world(
     image_size: int = 128,
     seed: int = 0,
     write_frames: bool = True,
+    three_d: bool = False,
 ) -> dict:
     from soundspaces_tpu.scene.floorplan import floorplan_graph, spread_goal_nodes
     from soundspaces_tpu.scene.synthetic import synth_frames
     from soundspaces_tpu.tools import reference_format as rf
-    from soundspaces_tpu.tools.rir_synth import synth_rir_bank_native
+    from soundspaces_tpu.tools.rir_synth import (
+        synth_rir_bank_native,
+        synth_rir_bank_native_3d,
+    )
 
     t0 = time.time()
     graph = floorplan_graph(width, depth, seed=seed)
@@ -118,10 +122,18 @@ def build_world(
     }
 
     t1 = time.time()
-    rirs = synth_rir_bank_native(
-        graph, goal_nodes, sampling_rate, rir_max_len,
-        num_rays=num_rays, seed=seed,
-    )
+    if three_d:
+        # full 3-D engine: floor/ceiling reflections, the reference's
+        # +1.5 m ear/source heights (simulator.py:390), elevation cues
+        rirs = synth_rir_bank_native_3d(
+            graph, goal_nodes, sampling_rate, rir_max_len,
+            num_rays=num_rays, seed=seed,
+        )
+    else:
+        rirs = synth_rir_bank_native(
+            graph, goal_nodes, sampling_rate, rir_max_len,
+            num_rays=num_rays, seed=seed,
+        )
     print(f"[tracer] {4*graph.num_nodes*len(goal_nodes)} RIRs "
           f"({time.time()-t1:.1f}s)", flush=True)
     t1 = time.time()
@@ -309,6 +321,10 @@ def main():
     ap.add_argument("--test-episodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--three-d", action="store_true",
+        help="trace the bank with the 3-D engine (floor/ceiling "
+        "reflections, source heights, elevation cues)")
+    ap.add_argument(
         "--semantic", action="store_true",
         help="augment an already-built world with SemanticAudioNav assets "
         "(per-category sounds, .house annotation, semantic frames, "
@@ -329,6 +345,7 @@ def main():
         rir_max_len=args.rir_max_len, num_rays=args.num_rays,
         train_episodes=args.train_episodes, val_episodes=args.val_episodes,
         test_episodes=args.test_episodes, seed=args.seed,
+        three_d=args.three_d,
     )
     print(json.dumps(summary))
 

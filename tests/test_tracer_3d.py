@@ -339,3 +339,41 @@ def test_continuous_tracer3d_mode():
     flat = PoseTracer(assets.graph, sr, 1000, num_rays=0, num_threads=1)
     n2 = first_arrival(flat(recv, src)[0])
     assert n3 > n2
+
+
+def test_make_realistic_three_d_world_trains(tmp_path):
+    """`make_realistic --three-d` traces the bank with the 3-D engine and
+    the trained-on world loads end-to-end through the reference-format
+    ingestion path (the same contract as the 2-D builder)."""
+    import jax
+
+    from soundspaces_tpu import trainers  # noqa: F401
+    from soundspaces_tpu.builder import build_trainer
+    from soundspaces_tpu.config import get_config
+    from soundspaces_tpu.tools.make_realistic import build_world
+
+    out = str(tmp_path / "w3d")
+    summary = build_world(
+        out, scene="tiny3", width=10, depth=10, num_goals=2,
+        sampling_rate=4000, rir_max_len=600, num_rays=40,
+        train_episodes=12, val_episodes=4, test_episodes=4,
+        image_size=16, seed=0, three_d=True,
+    )
+    assert summary["rir_files"] == 4 * summary["num_nodes"] * 2
+    cfg = get_config(
+        "configs/realistic_audiogoal.yaml",
+        [f"data.metadata_dir={out}/metadata/tiny3",
+         f"data.binaural_rir_dir={out}/binaural_rirs/tiny3",
+         f"data.source_sound_dir={out}/sounds/1s_all",
+         f"data.scene_observation_file={out}/scene_observations/tiny3.pkl",
+         f"data.episode_split_path={out}/datasets/audionav/tiny3/train/train.json.gz",
+         f"data.eval_episode_split_path={out}/datasets/audionav/tiny3/val/val.json.gz",
+         "data.sampling_rate=4000", "data.rir_max_len=600",
+         "data.image_size=16",
+         "trainer.num_envs=2", "trainer.num_updates=1",
+         "trainer.log_interval=1", "ppo.num_steps=4"],
+    )
+    tr = build_trainer(cfg)
+    logs = []
+    tr.train(jax.random.PRNGKey(0), log_fn=lambda u, m: logs.append(m))
+    assert logs and np.isfinite(logs[-1]["value_loss"])
