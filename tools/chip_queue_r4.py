@@ -37,12 +37,12 @@ JOB = [sys.executable, "-m", "soundspaces_tpu.tools.train_eval_job"]
 STEPS = [
     (
         "savi",
-        # 64 envs: the per-step replay remat (savi/policy.py) leaves 8.3 GB
-        # of 15.75 GB HBM used, so the rollout batch quadruples — 14.4 M
-        # frames in 1500 updates instead of 4.8 M
+        # 16 envs: HBM would fit 64 after the replay-remat fix, but the
+        # measured marginal throughput CRATERS there (255 steps/s vs ~1000
+        # at 16 envs — per-step cost grows 14x, not 4x), so the known-fast
+        # recipe wins
         JOB + ["--exp-config", "configs/realistic_semantic.yaml",
-               "--model-dir", f"{MODELS}/savi_r4", "--eval-interval", "4",
-               "trainer.num_envs=64", "trainer.num_updates=1500"],
+               "--model-dir", f"{MODELS}/savi_r4", "--eval-interval", "4"],
         {f"{MODELS}/savi_r4/train.log": "realistic_savi_r4_train.jsonl",
          f"{MODELS}/savi_r4/val.log": "realistic_savi_r4_val.jsonl"},
         2400,
@@ -56,8 +56,7 @@ STEPS = [
         JOB + ["--exp-config", "configs/realistic_semantic.yaml",
                "--model-dir", f"{MODELS}/savi_r4_ablate",
                "--eval-interval", "4",
-               "smt.ablate_beliefs=true",
-               "trainer.num_envs=64", "trainer.num_updates=1500"],
+               "smt.ablate_beliefs=true"],
         {f"{MODELS}/savi_r4_ablate/train.log":
             "realistic_savi_r4_ablate_train.jsonl",
          f"{MODELS}/savi_r4_ablate/val.log":
