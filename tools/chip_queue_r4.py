@@ -72,15 +72,6 @@ STEPS = [
         1800,
     ),
     (
-        "avwan",
-        JOB + ["--exp-config", "configs/realistic_avwan.yaml",
-               "--model-dir", f"{MODELS}/avwan_r4", "--eval-interval", "5",
-               "trainer.num_updates=5200"],
-        {f"{MODELS}/avwan_r4/train.log": "realistic_avwan_r4_train.jsonl",
-         f"{MODELS}/avwan_r4/val.log": "realistic_avwan_r4_val.jsonl"},
-        2400,
-    ),
-    (
         "multiscene",
         JOB + ["--exp-config", "configs/realistic_multiscene.yaml",
                "--model-dir", f"{MODELS}/multi_r4", "--eval-interval", "3",
@@ -93,8 +84,8 @@ STEPS = [
     (
         "avnav",
         JOB + ["--exp-config", "configs/realistic_audiogoal.yaml",
-               "--model-dir", f"{MODELS}/avnav_r4", "--eval-interval", "40",
-               "trainer.num_updates=26000", "ppo.num_steps=64",
+               "--model-dir", f"{MODELS}/avnav_r4", "--eval-interval", "20",
+               "trainer.num_updates=12000", "ppo.num_steps=64",
                "ppo.use_linear_entropy_decay=true",
                "ppo.final_entropy_coef=0.05"],
         {f"{MODELS}/avnav_r4/train.log": "realistic_avnav_r4_train.jsonl",
@@ -129,6 +120,18 @@ STEPS = [
         [sys.executable, "tools/pallas_chip_probe.py"],
         {"__json_stdout__": "pallas_probe_r4.json"},
         1200,
+    ),
+    # LAST: AV-WaN absorbs whatever round time remains (a 5200-update
+    # retrain is ~2.4 h at the r3 rate and cannot fit alongside the
+    # higher-priority steps; the periodic snapshot commits partial curves)
+    (
+        "avwan",
+        JOB + ["--exp-config", "configs/realistic_avwan.yaml",
+               "--model-dir", f"{MODELS}/avwan_r4", "--eval-interval", "5",
+               "trainer.num_updates=5200"],
+        {f"{MODELS}/avwan_r4/train.log": "realistic_avwan_r4_train.jsonl",
+         f"{MODELS}/avwan_r4/val.log": "realistic_avwan_r4_val.jsonl"},
+        2400,
     ),
 ]
 
