@@ -45,7 +45,7 @@ STEPS = [
                "--model-dir", f"{MODELS}/savi_r4", "--eval-interval", "4"],
         {f"{MODELS}/savi_r4/train.log": "realistic_savi_r4_train.jsonl",
          f"{MODELS}/savi_r4/val.log": "realistic_savi_r4_val.jsonl"},
-        2400,
+        1200,
     ),
     (
         "savi_ablate",
@@ -61,7 +61,7 @@ STEPS = [
             "realistic_savi_r4_ablate_train.jsonl",
          f"{MODELS}/savi_r4_ablate/val.log":
             "realistic_savi_r4_ablate_val.jsonl"},
-        2400,
+        1200,
     ),
     (
         "continuous",
