@@ -100,6 +100,13 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, nargs="+", default=[64, 128])
     p.add_argument("--scan-steps", type=int, default=50)
     p.add_argument("--timed-calls", type=int, default=4)
+    # past ~128 envs the audio batch loses HBM locality (round-3 realistic
+    # bench: 82.6k obs/s at 128 envs but 70.8k at 256); sequential
+    # env-chunks inside the jitted step restore it (bitwise-identical —
+    # the +41% round-1 synthetic-bench fix). Rungs >= chunk-at are measured
+    # both ways.
+    p.add_argument("--chunk-at", type=int, default=256)
+    p.add_argument("--chunks", type=int, default=2)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -115,28 +122,38 @@ def main(argv=None):
     print(f"[ingest] reference-format assets in {time.time() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
+    import dataclasses
+
     shared_scene = None
     for n in args.num_envs:
-        env = build_env(cfg, assets=assets, num_envs=n, scene=shared_scene)
-        # one host->device upload for the whole ladder (the ~3.9 GB bank
-        # streams at only a few MB/s over the tunnel)
-        shared_scene = env.scene
-        rate = bench_env(env, n, args.scan_steps, args.timed_calls)
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        "spectrogram obs/sec/chip (full env step, realistic "
-                        f"{assets.graph.num_nodes}-node reference-format world, "
-                        f"{cfg.data.sampling_rate / 1000:.1f} kHz)"
-                    ),
-                    "num_envs": n,
-                    "value": round(rate, 1),
-                    "unit": "obs/s",
-                }
-            ),
-            flush=True,
-        )
+        variants = [1]
+        if args.chunks > 1 and n >= args.chunk_at:
+            variants.append(args.chunks)
+        for chunks in variants:
+            vcfg = dataclasses.replace(
+                cfg, env=dataclasses.replace(cfg.env, step_chunks=chunks)
+            )
+            env = build_env(vcfg, assets=assets, num_envs=n, scene=shared_scene)
+            # one host->device upload for the whole ladder (the ~3.9 GB bank
+            # streams at only a few MB/s over the tunnel)
+            shared_scene = env.scene
+            rate = bench_env(env, n, args.scan_steps, args.timed_calls)
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "spectrogram obs/sec/chip (full env step, realistic "
+                            f"{assets.graph.num_nodes}-node reference-format world, "
+                            f"{cfg.data.sampling_rate / 1000:.1f} kHz)"
+                        ),
+                        "num_envs": n,
+                        "step_chunks": chunks,
+                        "value": round(rate, 1),
+                        "unit": "obs/s",
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
