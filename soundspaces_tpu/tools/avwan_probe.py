@@ -1,0 +1,148 @@
+"""AV-WaN planner-vs-policy isolation probe (round-3 verdict, weak #3).
+
+The realistic-world AV-WaN runs trail AV-Nav badly on SPL (0.32 vs 0.93 at
+converged compute) with ~20-33 collisions/episode. Two candidate causes:
+
+  (a) the mapper/planner stack itself loses path efficiency (agent-built
+      map + bounded-BFS low-level navigation eats the SPL even for perfect
+      waypoint choices), or
+  (b) the stack is sound and the gap lives in the waypoint POLICY/recipe
+      (exploration schedule, rollout horizon, reward scales).
+
+This probe isolates them: it drives the full hierarchical env — the same
+agent-built geometric map, the same `check_navigability` action mask, the
+same per-step re-planned BFS descent the learned policy uses
+(reference planner.py:88-168) — but replaces the learned waypoint head
+with an ORACLE chooser: among mask-valid action-map cells, pick the one
+minimizing (hops agent->target + hops target->goal, tie-broken by
+remaining hops to goal), i.e. the farthest mask-admissible waypoint ON the
+geodesic shortest path; STOP at the goal. Any SPL lost here is
+attributable to the mapper/planner machinery; the remainder of the
+learned-policy gap is the recipe.
+
+Run (CPU is fine; audio is computed but ignored by the oracle):
+    python -m soundspaces_tpu.tools.avwan_probe \
+        --exp-config configs/realistic_avwan.yaml --episodes 100 \
+        [--oracle-tables]   # bypass the agent-built map (true-table mask
+                            # + next-hop low-level motion): upper bound
+Prints one JSON line with the aggregated eval measures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def oracle_waypoints(env, scene, tables, state):
+    """Per-env oracle waypoint indices over the CURRENT action mask."""
+    a = env.wp.mapper.action_map_size
+    idxs = jnp.arange(a * a)
+    rows, cols = idxs // a, idxs % a
+
+    from soundspaces_tpu.scene.graph import UNREACHABLE
+
+    def one(st):
+        base = st.base
+        tnode = env._waypoint_node(scene, tables, base, rows, cols)
+        mask = env._action_mask(scene, tables, st)
+        tn = jnp.maximum(tnode, 0)
+        h_nt = scene.geodesic_hops[base.node, tn].astype(jnp.int32)
+        h_tg = scene.geodesic_hops[tn, base.goal_node].astype(jnp.int32)
+        valid = (
+            (mask > 0.5)
+            & (tnode >= 0)
+            & (h_nt < UNREACHABLE)
+            & (h_tg < UNREACHABLE)
+        )
+        # primary: stay on a shortest path (h_nt + h_tg minimal);
+        # secondary: maximal progress along it (minimal h_tg) — the STOP
+        # center cell ties on the primary term but always loses the
+        # tie-break to any forward on-path cell
+        cost = (h_nt + h_tg) * 10000 + h_tg
+        cost = jnp.where(valid, cost, jnp.int32(2**30))
+        best = jnp.argmin(cost).astype(jnp.int32)
+        at_goal = scene.geodesic_hops[base.node, base.goal_node] == 0
+        return jnp.where(at_goal, jnp.int32(a * a // 2), best)
+
+    return jax.vmap(one)(state)
+
+
+def run_probe(cfg, episodes: int, num_envs: int, oracle_tables: bool):
+    import dataclasses
+
+    from soundspaces_tpu.builder import build_assets, build_waypoint_env
+
+    cfg = dataclasses.replace(
+        cfg, trainer=dataclasses.replace(cfg.trainer, num_envs=num_envs)
+    )
+    if oracle_tables:
+        cfg = dataclasses.replace(
+            cfg, avwan=dataclasses.replace(cfg.avwan, plan_from_map=False)
+        )
+    assets = build_assets(cfg)
+    env = build_waypoint_env(cfg, assets, sequential=True)
+    rng = jax.random.PRNGKey(cfg.data.seed)
+    rng, reset_key = jax.random.split(rng)
+    state, obs = env.reset(reset_key)
+
+    @jax.jit
+    def probe_step(scene, eps, tables, state):
+        wps = oracle_waypoints(env, scene, tables, state)
+        state, obs, _, done, info = env.step_pure(scene, eps, tables, state, wps)
+        return state, obs, done, info
+
+    totals: dict[str, float] = {}
+    count = 0
+    t0 = time.time()
+    max_steps = env.cfg.max_episode_steps * (episodes // env.num_envs + 2)
+    for _ in range(max_steps):
+        state, obs, done, info = probe_step(
+            env.base.scene, env.base.episodes, env.tables(), state
+        )
+        d = np.asarray(done)
+        if d.any():
+            fetched = jax.device_get(info)
+            ep_valid = fetched.pop("ep_valid", None)
+            for i in np.nonzero(d)[0]:
+                if count >= episodes:
+                    break
+                if ep_valid is not None and ep_valid[i] == 0.0:
+                    continue
+                count += 1
+                for k, v in fetched.items():
+                    totals[k] = totals.get(k, 0.0) + float(v[i])
+        if count >= episodes:
+            break
+    out = {k: v / max(count, 1) for k, v in sorted(totals.items())}
+    out["episode_count"] = float(count)
+    out["mode"] = "oracle_tables" if oracle_tables else "map_planner"
+    out["probe_secs"] = round(time.time() - t0, 1)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp-config", default="configs/realistic_avwan.yaml")
+    ap.add_argument("--episodes", type=int, default=100)
+    ap.add_argument("--num-envs", type=int, default=10)
+    ap.add_argument("--oracle-tables", action="store_true")
+    ap.add_argument("--force-cpu", action="store_true", default=True)
+    args = ap.parse_args(argv)
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from soundspaces_tpu.config import get_config
+
+    cfg = get_config(args.exp_config, [])
+    out = run_probe(cfg, args.episodes, args.num_envs, args.oracle_tables)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -215,6 +215,9 @@ def augment_semantic(
     test_episodes: int = 500,
     image_size: int = 128,
     seed: int = 0,
+    min_hops: int = 4,
+    max_hops: int = 60,
+    dataset_name: str = "semantic_audionav",
 ) -> dict:
     """Add SemanticAudioNav assets on top of an existing realistic world,
     reusing its traced RIR bank (RIRs depend only on geometry, not on the
@@ -274,7 +277,7 @@ def augment_semantic(
     with open(cache_path, "wb") as f:
         pickle.dump(cache, f)
 
-    ep_dir = os.path.join(out, "datasets", "semantic_audionav", scene)
+    ep_dir = os.path.join(out, "datasets", dataset_name, scene)
     for split, count, s_off in (
         ("train", train_episodes, 20),
         ("val", val_episodes, 21),
@@ -283,6 +286,7 @@ def augment_semantic(
         eps = rf.make_semantic_episode_records(
             graph, goal_nodes, goal_categories, sounds_by_category,
             sound_secs, count, scene, seed=seed + s_off,
+            min_hops=min_hops, max_hops=max_hops,
         )
         rf.write_episode_dataset(
             {scene: eps}, os.path.join(ep_dir, split), split
@@ -330,12 +334,26 @@ def main():
         "(per-category sounds, .house annotation, semantic frames, "
         "semantic episode datasets) — reuses the traced RIR bank",
     )
+    ap.add_argument(
+        "--semantic-hops", type=int, nargs=2, default=(4, 60),
+        metavar=("MIN", "MAX"),
+        help="geodesic hop bounds for semantic episode sampling; e.g. "
+        "'4 16' (2-8 m at 0.5 m spacing) matches the Replica scene scale "
+        "where the reference demonstrates SAVi single-node training",
+    )
+    ap.add_argument(
+        "--semantic-dataset-name", default="semantic_audionav",
+        help="datasets/<name>/ output subdir — lets hop-bounded episode "
+        "variants coexist with the full-range default",
+    )
     args = ap.parse_args()
     if args.semantic:
         summary = augment_semantic(
             args.out, scene=args.scene, train_episodes=args.train_episodes,
             val_episodes=args.val_episodes, test_episodes=args.test_episodes,
             seed=args.seed,
+            min_hops=args.semantic_hops[0], max_hops=args.semantic_hops[1],
+            dataset_name=args.semantic_dataset_name,
         )
         print(json.dumps(summary))
         return
