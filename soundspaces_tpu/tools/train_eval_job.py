@@ -113,7 +113,23 @@ def main(argv=None):
         ckpts = all_ckpts[:: max(args.eval_interval, 1)]
         if all_ckpts and all_ckpts[-1] not in ckpts:
             ckpts.append(all_ckpts[-1])  # the final ckpt is always scored
+    # Resume-aware sweep: a killed/wedged job relaunches with training
+    # already complete, so don't re-score checkpoints the val log already
+    # holds (the axon tunnel occasionally wedges mid-sweep and the queue
+    # watchdog kills for resume — results/R3_QUEUE.md).
+    val_path = os.path.join(cfg.model_dir, args.val_log)
+    scored = set()
+    if not args.eval_latest_only and os.path.exists(val_path):
+        with open(val_path) as f:
+            for line in f:
+                try:
+                    scored.add(json.loads(line).get("checkpoint"))
+                except json.JSONDecodeError:
+                    pass
     for ckpt in ckpts:
+        if os.path.basename(ckpt) in scored:
+            print(f"[job] already scored {ckpt}; skipping", flush=True)
+            continue
         if is_savi:
             params, opt_state, bparams, bopt, carry = trainer.init_state(
                 jax.random.PRNGKey(cfg.trainer.seed)
