@@ -44,6 +44,15 @@ def main(argv=None):
         help="score only the latest checkpoint (e.g. the test-split "
         "golden-number protocol, INSTALLATION.md:44-48)",
     )
+    p.add_argument(
+        "--eval-best-from", default=None, metavar="VAL_LOG",
+        help="score only the checkpoint with the best --eval-best-metric "
+        "in the given model-dir val log (the reference golden protocol "
+        "tests the BEST val checkpoint, not the last one — "
+        "av_nav/README.md:25-27). Falls back to the latest checkpoint "
+        "when the log is missing/empty.",
+    )
+    p.add_argument("--eval-best-metric", default="spl")
     p.add_argument("--val-log", default="val.log")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
@@ -104,7 +113,34 @@ def main(argv=None):
     val_log = file_log(args.val_log)
     folder = cfg.trainer.checkpoint_folder
     last = latest_checkpoint(folder)
-    if args.eval_latest_only:
+    if args.eval_best_from:
+        best_name, best_val = None, -float("inf")
+        src = os.path.join(cfg.model_dir, args.eval_best_from)
+        if os.path.exists(src):
+            with open(src) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    v = rec.get(args.eval_best_metric)
+                    if v is not None and v > best_val:
+                        best_name, best_val = rec.get("checkpoint"), v
+        if best_name:
+            print(
+                f"[job] best-val checkpoint by {args.eval_best_metric}: "
+                f"{best_name} ({best_val:.3f})",
+                flush=True,
+            )
+            ckpts = [os.path.join(folder, best_name)]
+        else:
+            print(
+                f"[job] no usable {args.eval_best_from}; "
+                "falling back to latest",
+                flush=True,
+            )
+            ckpts = [last] if last else []
+    elif args.eval_latest_only:
         ckpts = [last] if last else []
     else:
         from soundspaces_tpu.train.trainer import _list_checkpoints
@@ -120,6 +156,8 @@ def main(argv=None):
     val_path = os.path.join(cfg.model_dir, args.val_log)
     scored = set()
     if not args.eval_latest_only and os.path.exists(val_path):
+        # (applies to --eval-best-from too: a relaunch after a wedge must
+        # not burn another 1000-episode sweep on an already-scored ckpt)
         with open(val_path) as f:
             for line in f:
                 try:

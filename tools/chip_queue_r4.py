@@ -99,7 +99,7 @@ STEPS = [
         # savi/config/default.py:283-290)
         JOB + ["--exp-config", "configs/realistic_audiogoal.yaml",
                "--model-dir", f"{MODELS}/avnav_r4", "--skip-train",
-               "--eval-latest-only", "--eval-episodes", "1000",
+               "--eval-best-from", "val.log", "--eval-episodes", "1000",
                "--val-log", "test.log",
                "data.eval_episode_split_path="
                "data/realistic/datasets/audionav/apartment_1k/test/"
