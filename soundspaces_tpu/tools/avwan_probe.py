@@ -132,7 +132,12 @@ def main(argv=None):
     ap.add_argument("--episodes", type=int, default=100)
     ap.add_argument("--num-envs", type=int, default=10)
     ap.add_argument("--oracle-tables", action="store_true")
-    ap.add_argument("--force-cpu", action="store_true", default=True)
+    ap.add_argument(
+        "--force-cpu",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="run on CPU (default); --no-force-cpu uses the chip",
+    )
     args = ap.parse_args(argv)
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")

@@ -124,8 +124,19 @@ def main(argv=None):
                     except json.JSONDecodeError:
                         continue
                     v = rec.get(args.eval_best_metric)
-                    if v is not None and v > best_val:
-                        best_name, best_val = rec.get("checkpoint"), v
+                    # a record with the metric but no checkpoint name must
+                    # not raise the bar (it would block lower-scoring real
+                    # entries), and the named file must still exist on disk
+                    # (r3: checkpoints died with the VM while val.log lived
+                    # on in results/)
+                    name = rec.get("checkpoint")
+                    if (
+                        v is not None
+                        and v > best_val
+                        and name
+                        and os.path.exists(os.path.join(folder, name))
+                    ):
+                        best_name, best_val = name, v
         if best_name:
             print(
                 f"[job] best-val checkpoint by {args.eval_best_metric}: "

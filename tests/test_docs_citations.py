@@ -34,6 +34,41 @@ def test_some_citations_exist():
     assert _cited_paths(), "doc scan found no results/ citations at all"
 
 
+# Round-4 lesson (VERDICT-r4 Weak #1/#6): the forward check above catches
+# phantom citations, but not the inverse — an artifact that HAS landed while
+# the prose still calls it "in flight". Flag any stale-status phrase whose
+# surrounding context (±3 lines) names a results/ artifact that exists.
+STALE = re.compile(
+    r"in.flight|will be cited|once committed|has not (?:yet )?run|never ran",
+    re.IGNORECASE,
+)
+
+
+def _stale_claims():
+    claims = []
+    for doc in DOCS:
+        p = REPO / doc
+        if not p.exists():
+            continue
+        lines = p.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not STALE.search(line):
+                continue
+            ctx = "\n".join(lines[max(0, i - 3):i + 4])
+            for m in CITE.finditer(ctx):
+                if (REPO / m.group(0)).exists():
+                    claims.append((doc, i + 1, m.group(0)))
+    return claims
+
+
+def test_no_stale_in_flight_prose():
+    claims = _stale_claims()
+    assert not claims, (
+        "docs describe committed artifacts as in-flight/pending: "
+        + "; ".join(f"{d}:{ln} near {rel}" for d, ln, rel in claims)
+    )
+
+
 @pytest.mark.parametrize("doc,rel", _cited_paths(), ids=lambda x: str(x))
 def test_cited_artifact_exists_and_parses(doc, rel):
     path = REPO / rel
