@@ -204,6 +204,60 @@ def build_semantic_sounds(
     return out
 
 
+def augment_audionav_episodes(
+    out: str,
+    scene: str = "apartment_1k",
+    train_episodes: int = 4000,
+    val_episodes: int = 500,
+    test_episodes: int = 1000,
+    seed: int = 0,
+    min_hops: int = 4,
+    max_hops: int = 60,
+    dataset_name: str = "audionav",
+) -> dict:
+    """Write an additional hop-bounded AudioNav episode dataset against an
+    ALREADY-BUILT world (graph / RIR bank / frames untouched — episode
+    datasets are independent of the acoustics, audionav_dataset.py:28-165).
+    Lets a short-horizon variant (e.g. 4-16 hops = 2-8 m) coexist with the
+    full-range default under datasets/<dataset_name>/."""
+    from soundspaces_tpu.builder import discover_goal_nodes
+    from soundspaces_tpu.scene.graph import SceneGraph
+    from soundspaces_tpu.tools import reference_format as rf
+
+    t0 = time.time()
+    graph = SceneGraph.from_metadata(os.path.join(out, "metadata", scene))
+    goal_nodes = discover_goal_nodes(
+        os.path.join(out, "binaural_rirs", scene), graph
+    )
+    sound_dir = os.path.join(out, "sounds", "1s_all")
+    sound_names = sorted(
+        os.path.splitext(f)[0]
+        for f in os.listdir(sound_dir) if f.endswith(".wav")
+    )
+    ep_dir = os.path.join(out, "datasets", dataset_name, scene)
+    for split, count, s_off in (
+        ("train", train_episodes, 10),
+        ("val", val_episodes, 11),
+        ("test", test_episodes, 12),
+    ):
+        eps = rf.make_episode_records(
+            graph, goal_nodes, sound_names, count, scene,
+            seed=seed + s_off, min_hops=min_hops, max_hops=max_hops,
+        )
+        rf.write_episode_dataset(
+            {scene: eps}, os.path.join(ep_dir, split), split
+        )
+    return {
+        "dataset_name": dataset_name,
+        "hops": [min_hops, max_hops],
+        "episodes": {
+            "train": train_episodes, "val": val_episodes,
+            "test": test_episodes,
+        },
+        "build_secs": round(time.time() - t0, 1),
+    }
+
+
 def augment_semantic(
     out: str,
     scene: str = "apartment_1k",
@@ -346,7 +400,30 @@ def main():
         help="datasets/<name>/ output subdir — lets hop-bounded episode "
         "variants coexist with the full-range default",
     )
+    ap.add_argument(
+        "--audionav-episodes", action="store_true",
+        help="episodes-only mode: write an additional hop-bounded AudioNav "
+        "episode dataset against an already-built world (reuses graph/RIRs/"
+        "frames); combine with --audionav-hops/--audionav-dataset-name",
+    )
+    ap.add_argument(
+        "--audionav-hops", type=int, nargs=2, default=(4, 60),
+        metavar=("MIN", "MAX"),
+        help="geodesic hop bounds for --audionav-episodes; '4 16' is the "
+        "2-8 m short-horizon band used by the SAVi realistic runs",
+    )
+    ap.add_argument("--audionav-dataset-name", default="audionav")
     args = ap.parse_args()
+    if args.audionav_episodes:
+        summary = augment_audionav_episodes(
+            args.out, scene=args.scene, train_episodes=args.train_episodes,
+            val_episodes=args.val_episodes, test_episodes=args.test_episodes,
+            seed=args.seed, min_hops=args.audionav_hops[0],
+            max_hops=args.audionav_hops[1],
+            dataset_name=args.audionav_dataset_name,
+        )
+        print(json.dumps(summary))
+        return
     if args.semantic:
         summary = augment_semantic(
             args.out, scene=args.scene, train_episodes=args.train_episodes,
