@@ -1,0 +1,190 @@
+"""Round-5 serial TPU chip work queue.
+
+Picks up after the carried-over round-4 queue (tools/chip_queue_r4.py)
+finishes its pallas step: the remaining VERDICT-r4 evidence items in
+priority order. Same driver discipline as r4 — one subprocess at a time,
+stale-log watchdog for tunnel wedges, auto-resume from the model dir's
+latest checkpoint, artifacts snapshotted into results/ and committed
+after each step.
+
+Steps (VERDICT-r4 "Next round" order):
+  1. cont_short   — short-horizon (4-16 hop) continuous train: the r4
+                    full-range run was budget/horizon-starved, not buggy
+                    (see configs/realistic_continuous_short.yaml header)
+  2. savi_ext     — extend SAVi beliefs-ON to 4000 updates (resumes
+                    /tmp/models/savi_r4; both ablation arms were still
+                    rising at the 2000-update budget)
+  3. savi_ablate_ext — same extension for the zeroed-belief arm
+  4. bench_profile — one-shot attribution of the flat north-star bench
+  5. avwan        — LAST: annealed-recipe retrain absorbs remaining time
+
+Run:  python tools/chip_queue_r5.py [--from STEP] [--only STEP]
+State: /tmp/queue_r5_state.log   Logs: /tmp/queue_r5/<step>.log
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+LOGDIR = "/tmp/queue_r5"
+STATE = "/tmp/queue_r5_state.log"
+MODELS = "/tmp/models"
+
+JOB = [sys.executable, "-m", "soundspaces_tpu.tools.train_eval_job"]
+
+# (name, cmd, {src_in_model_dir_or_abs: results_artifact}, stale_s)
+STEPS = [
+    (
+        "cont_short",
+        JOB + ["--exp-config", "configs/realistic_continuous_short.yaml",
+               "--model-dir", f"{MODELS}/cont_short_r5",
+               "--eval-interval", "6"],
+        {f"{MODELS}/cont_short_r5/train.log":
+            "realistic_continuous_short_r5_train.jsonl",
+         f"{MODELS}/cont_short_r5/val.log":
+            "realistic_continuous_short_r5_val.jsonl"},
+        1800,
+    ),
+    (
+        "savi_ext",
+        # resume-from-latest continues ckpt.2000 -> 4000; the lr/entropy
+        # schedules recompute against num_updates=4000 (both arms get the
+        # identical treatment, so the paired comparison stays fair)
+        JOB + ["--exp-config", "configs/realistic_semantic.yaml",
+               "--model-dir", f"{MODELS}/savi_r4", "--eval-interval", "4",
+               "trainer.num_updates=4000"],
+        {f"{MODELS}/savi_r4/train.log": "realistic_savi_r4b_train.jsonl",
+         f"{MODELS}/savi_r4/val.log": "realistic_savi_r4b_val.jsonl"},
+        1200,
+    ),
+    (
+        "savi_ablate_ext",
+        JOB + ["--exp-config", "configs/realistic_semantic.yaml",
+               "--model-dir", f"{MODELS}/savi_r4_ablate",
+               "--eval-interval", "4", "trainer.num_updates=4000",
+               "smt.ablate_beliefs=true"],
+        {f"{MODELS}/savi_r4_ablate/train.log":
+            "realistic_savi_r4b_ablate_train.jsonl",
+         f"{MODELS}/savi_r4_ablate/val.log":
+            "realistic_savi_r4b_ablate_val.jsonl"},
+        1200,
+    ),
+    (
+        "bench_profile",
+        [sys.executable, "tools/bench_profile.py"],
+        {"__json_stdout__": "bench_profile_r5.json"},
+        2400,
+    ),
+    (
+        "avwan",
+        JOB + ["--exp-config", "configs/realistic_avwan.yaml",
+               "--model-dir", f"{MODELS}/avwan_r5", "--eval-interval", "5",
+               "trainer.num_updates=5200"],
+        {f"{MODELS}/avwan_r5/train.log": "realistic_avwan_r5_train.jsonl",
+         f"{MODELS}/avwan_r5/val.log": "realistic_avwan_r5_val.jsonl"},
+        2400,
+    ),
+]
+
+
+def log_state(msg: str):
+    line = f"{time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    with open(STATE, "a") as f:
+        f.write(line + "\n")
+
+
+def run_step(name, cmd, artifacts, stale_s, max_attempts=3) -> bool:
+    os.makedirs(LOGDIR, exist_ok=True)
+    log_path = os.path.join(LOGDIR, f"{name}.log")
+    for attempt in range(1, max_attempts + 1):
+        log_state(f"[{name}] attempt {attempt}: {' '.join(cmd)}")
+        with open(log_path, "ab") as lf:
+            lf.write(f"\n===== attempt {attempt} =====\n".encode())
+            lf.flush()
+            p = subprocess.Popen(
+                cmd, stdout=lf, stderr=subprocess.STDOUT, cwd=REPO
+            )
+            with open("/tmp/queue_r5_job.pid", "w") as pf:
+                pf.write(str(p.pid))
+            rc = None
+            while rc is None:
+                try:
+                    rc = p.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    stale = time.time() - os.path.getmtime(log_path)
+                    if stale > stale_s:
+                        log_state(
+                            f"[{name}] WEDGED (log stale {stale:.0f}s) — "
+                            "killing for resume"
+                        )
+                        p.kill()
+                        p.wait()
+                        rc = -9
+        if rc == 0:
+            log_state(f"[{name}] done")
+            return True
+        log_state(f"[{name}] rc={rc}; cooling down 120s for the tunnel")
+        time.sleep(120)
+    log_state(f"[{name}] FAILED after {max_attempts} attempts")
+    return False
+
+
+def snapshot(artifacts: dict, step: str):
+    copied = []
+    for src, dst in artifacts.items():
+        if src == "__json_stdout__":
+            log_path = os.path.join(LOGDIR, f"{step}.log")
+            if not os.path.exists(log_path):
+                continue
+            lines = [
+                ln for ln in open(log_path, errors="replace")
+                if ln.startswith("{")
+            ]
+            if lines:
+                with open(os.path.join(REPO, "results", dst), "w") as f:
+                    f.writelines(lines)
+                copied.append(f"results/{dst}")
+            continue
+        if os.path.exists(src) and os.path.getsize(src) > 0:
+            shutil.copyfile(src, os.path.join(REPO, "results", dst))
+            copied.append(f"results/{dst}")
+    if copied:
+        subprocess.run(["git", "add"] + copied, cwd=REPO)
+        subprocess.run(
+            ["git", "commit", "-q", "-m",
+             f"Realistic chip queue r5: {step} artifacts"],
+            cwd=REPO,
+        )
+        log_state(f"[{step}] committed {copied}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from", dest="start", default=None)
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    started = args.start is None
+    for name, cmd, artifacts, stale_s in STEPS:
+        if not started:
+            if name == args.start:
+                started = True
+            else:
+                continue
+        if args.only and name != args.only:
+            continue
+        ok = run_step(name, cmd, artifacts, stale_s)
+        snapshot(artifacts, name)
+        if not ok:
+            log_state(f"queue continuing past failed step {name}")
+    log_state("queue complete")
+
+
+if __name__ == "__main__":
+    main()

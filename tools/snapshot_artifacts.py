@@ -19,10 +19,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     sys.path.insert(0, os.path.join(REPO, "tools"))
-    from chip_queue_r4 import STEPS
+    from chip_queue_r4 import STEPS as STEPS_R4
+    from chip_queue_r5 import STEPS as STEPS_R5
 
     copied = []
-    for _, _, artifacts, _ in STEPS:
+    for _, _, artifacts, _ in list(STEPS_R4) + list(STEPS_R5):
         for src, dst in artifacts.items():
             if src == "__json_stdout__":
                 continue
