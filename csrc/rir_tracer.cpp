@@ -1388,6 +1388,103 @@ int trace_rirs_3d(const float* recv_xyzh, int batch, const float* src_xyz,
   return 0;
 }
 
+// Temporal-coherence variant of trace_rirs_3d — the analog of the
+// reference engine's temporalCoherence setting (SoundSpaces2.md config
+// table, ~10x ray reduction for continuous motion; the reference enables
+// it for its continuous simulator, continuous_simulator.py:115-126).
+//
+// The stochastic energy field accumulated at the previous pose is cached
+// per batch item (state_e, caller-owned). When the (receiver, source)
+// pose moved less than max_delta since the cached trace, only
+// refresh_rays fresh rays are traced (each carrying energy 1/refresh_rays
+// so the partial field is an unbiased full-field estimate) and blended
+// into the cache with weight w = refresh_rays/num_rays — an exponential
+// moving average whose steady-state effective ray count matches a full
+// num_rays retrace while costing ~num_rays/refresh_rays less per call.
+// The direct arrival, ITD/ILD cues, occlusion test and diffraction are
+// recomputed exactly at the NEW pose every call (only the diffuse field
+// lags, bounded by max_delta), matching the reference semantics where
+// temporal coherence smooths the late field under small motion.
+//
+// state_e: float32 [batch][kNumBands][rir_len], zero-init by the caller;
+// state_pose: float32 [batch][7] = (rx,ry,rz,sx,sy,sz,valid), zero-init;
+// frame_idx: monotonically increasing call counter — salts each refresh
+// ray set so successive partial traces explore fresh directions.
+int trace_rirs_3d_coherent(
+    const float* recv_xyzh, int batch, const float* src_xyz,
+    const uint8_t* occupancy, const uint8_t* mat_id, int grid_h,
+    int grid_w, float grid_size, const float* floor_y, const float* ceil_y,
+    float floor_default, float ceil_default, int floor_mat, int ceil_mat,
+    int sampling_rate, int rir_len, int num_rays, int max_bounces,
+    const float* materials, int n_materials, float air_absorption,
+    int enable_transmission, int enable_diffraction, uint64_t seed,
+    int num_threads, int refresh_rays, float max_delta, uint64_t frame_idx,
+    float* state_e, float* state_pose, float* out) {
+  auto mats = unpack_materials(materials, n_materials);
+  Config cfg = make_config(sampling_rate, rir_len, num_rays, max_bounces,
+                           grid_size, air_absorption, seed, mats.data(),
+                           (int)mats.size(), enable_transmission != 0,
+                           enable_diffraction != 0);
+  Scene3 sc = make_scene3(occupancy, mat_id, grid_h, grid_w, grid_size,
+                          floor_y, ceil_y, floor_default, ceil_default,
+                          floor_mat, ceil_mat, (int)mats.size(),
+                          cfg.enable_diffraction);
+  const int refresh = std::max(1, std::min(refresh_rays, cfg.num_rays));
+  run_pool(batch, num_threads, [&](int i) {
+    const float rx = recv_xyzh[i * 4 + 0];
+    const float ry = recv_xyzh[i * 4 + 1];
+    const float rz = recv_xyzh[i * 4 + 2];
+    const float heading = recv_xyzh[i * 4 + 3];
+    const float sx = src_xyz[i * 3 + 0];
+    const float sy = src_xyz[i * 3 + 1];
+    const float sz = src_xyz[i * 3 + 2];
+    const uint64_t pose_salt =
+        (uint64_t)(int64_t)std::lround(rx * 512.0f) * 73856093ull ^
+        (uint64_t)(int64_t)std::lround(rz * 512.0f) * 19349663ull ^
+        (uint64_t)(int64_t)std::lround(sx * 512.0f) * 83492791ull ^
+        (uint64_t)(int64_t)std::lround(sz * 512.0f);
+    float* sp = state_pose + (size_t)i * 7;
+    float* se = state_e + (size_t)i * kNumBands * cfg.rir_len;
+    const float drx = rx - sp[0], dry = ry - sp[1], drz = rz - sp[2];
+    const float dsx = sx - sp[3], dsy = sy - sp[4], dsz = sz - sp[5];
+    const float recv_d = std::sqrt(drx * drx + dry * dry + drz * drz);
+    const float src_d = std::sqrt(dsx * dsx + dsy * dsy + dsz * dsz);
+    const bool reuse = sp[6] > 0.5f && recv_d <= max_delta &&
+                       src_d <= max_delta && refresh < cfg.num_rays;
+    BandEnergy acc(cfg.rir_len);
+    if (!reuse) {
+      // cold start / teleport: full retrace, identical to trace_rirs_3d
+      stochastic_field3(sc, cfg, sx, sy, sz, rx, ry, rz, pose_salt, acc);
+      for (int b = 0; b < kNumBands; ++b)
+        std::copy(acc.e[b].begin(), acc.e[b].end(),
+                  se + (size_t)b * cfg.rir_len);
+    } else {
+      Config cfgK = cfg;
+      cfgK.num_rays = refresh;  // per-ray energy 1/refresh: unbiased
+      stochastic_field3(
+          sc, cfgK, sx, sy, sz, rx, ry, rz,
+          pose_salt ^ (0xd1b54a32d192ed03ull * (frame_idx + 1)), acc);
+      const float w = (float)refresh / (float)cfg.num_rays;
+      for (int b = 0; b < kNumBands; ++b) {
+        float* cache = se + (size_t)b * cfg.rir_len;
+        for (int n = 0; n < cfg.rir_len; ++n) {
+          cache[n] = (1.0f - w) * cache[n] + w * acc.e[b][n];
+          acc.e[b][n] = cache[n];
+        }
+      }
+    }
+    sp[0] = rx; sp[1] = ry; sp[2] = rz;
+    sp[3] = sx; sp[4] = sy; sp[5] = sz; sp[6] = 1.0f;
+    // noise seed fixed per item (not per pose): the carrier stays stable
+    // across frames so coherent motion yields coherent audio
+    binaural_from_field3(sc, cfg, acc,
+                         cfg.seed ^ (0x9e3779b97f4a7c15ull * (uint64_t)i),
+                         rx, ry, rz, heading, sx, sy, sz,
+                         out + (size_t)i * 2 * cfg.rir_len);
+  });
+  return 0;
+}
+
 // Physical sanity probes — the AudioSensor's sourceIsVisible() /
 // getRayEfficiency() surface (SoundSpaces2 quick tutorial notebook).
 // recv_xz: float32 [batch, 2]; src_xz: float32 [batch, 2];

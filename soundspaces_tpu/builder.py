@@ -351,18 +351,32 @@ def build_env(
                 assets.graph, cfg.data.sampling_rate, cfg.data.rir_max_len,
                 num_rays=c.num_rays,
             )
-        if c.rir_source == "tracer3d":
+        if c.rir_source in ("tracer3d", "tracer3d_coherent"):
             from soundspaces_tpu.tools.rir_synth import (
+                CoherentPoseTracer3D,
                 HorizontalPoseAdapter,
                 PoseTracer3D,
             )
 
-            tracer = HorizontalPoseAdapter(
-                PoseTracer3D(
+            if c.rir_source == "tracer3d_coherent":
+                # temporal-coherence ray reuse (the reference engine's
+                # temporalCoherence, continuous_simulator.py:115-126):
+                # ~num_rays/refresh_rays cheaper per step under motion
+                t3 = CoherentPoseTracer3D(
                     assets.graph, cfg.data.sampling_rate,
                     cfg.data.rir_max_len, num_rays=c.num_rays,
                     room_height=c.room_height,
-                ),
+                    refresh_rays=c.coherent_refresh_rays or None,
+                    max_delta=c.coherent_max_delta,
+                )
+            else:
+                t3 = PoseTracer3D(
+                    assets.graph, cfg.data.sampling_rate,
+                    cfg.data.rir_max_len, num_rays=c.num_rays,
+                    room_height=c.room_height,
+                )
+            tracer = HorizontalPoseAdapter(
+                t3,
                 receiver_height=c.receiver_height,
                 source_height=c.source_height,
             )

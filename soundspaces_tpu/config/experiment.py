@@ -88,11 +88,18 @@ class ContinuousOverrides:
     # native ray trace at the exact pose, SS2.0's AudioSensor), "tracer3d"
     # (same but the full 3-D engine: floor/ceiling reflections, source
     # heights, elevation cues — csrc/rir_tracer.cpp 3-D section),
+    # "tracer3d_coherent" (3-D engine with temporal-coherence ray reuse
+    # across steps — the reference's temporalCoherence),
     # "parametric" (on-device closed-form synthesis), or "neural" (a
     # NeuralRIRField distilled from the tracer at setup, then served fully
     # on device)
     rir_source: str = "bank"
     num_rays: int = 500  # indirectRayCount (continuous_simulator.py:123)
+    # rir_source="tracer3d_coherent" (temporalCoherence analog,
+    # continuous_simulator.py:115-126): fresh rays per call (0 -> rays/10)
+    # and the pose delta beyond which a full retrace is forced
+    coherent_refresh_rays: int = 0
+    coherent_max_delta: float = 0.6
     # tracer3d elevation geometry: ear/source offsets above the local floor
     # (the reference's 1.5 m agent sensor + goal offsets, simulator.py:390)
     # and the flat-ceiling height over the graph floor heightfield

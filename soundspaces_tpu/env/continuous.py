@@ -43,7 +43,9 @@ from soundspaces_tpu.scene.graph import MOVE_FORWARD, STOP, TURN_LEFT, TURN_RIGH
 
 # rir_source values that render a FRESH pose-exact RIR each step (carried in
 # state.rir/prev_rir) rather than gathering the precomputed bank
-FRESH_RIR_SOURCES = ("tracer", "tracer3d", "parametric", "neural")
+FRESH_RIR_SOURCES = (
+    "tracer", "tracer3d", "tracer3d_coherent", "parametric", "neural"
+)
 
 
 def add_step_window_table(scene: DeviceScene, step_time: float) -> DeviceScene:
@@ -220,10 +222,11 @@ class ContinuousAudioNavEnv:
             "path would silently be dropped otherwise)"
         )
         self._tracer = tracer
-        if config.rir_source in ("tracer", "tracer3d"):
+        if config.rir_source in ("tracer", "tracer3d", "tracer3d_coherent"):
             assert tracer is not None, (
                 "rir_source='tracer' needs a PoseTracer (tools.rir_synth); "
-                "'tracer3d' a HorizontalPoseAdapter over PoseTracer3D"
+                "'tracer3d' a HorizontalPoseAdapter over PoseTracer3D "
+                "('tracer3d_coherent': over CoherentPoseTracer3D)"
             )
             assert tracer.rir_max_len == scene.rir_max_len
         self._neural_net, self._neural_params = (None, None)
@@ -462,7 +465,9 @@ class ContinuousAudioNavEnv:
         neural RIR field (ops/neural_rir.py). `src_node` overrides the
         source position (distractor rendering)."""
         src = state.goal_node if src_node is None else src_node
-        if self.config.rir_source in ("tracer", "tracer3d"):
+        if self.config.rir_source in (
+            "tracer", "tracer3d", "tracer3d_coherent"
+        ):
             return self._traced_rir(
                 scene, state.x, state.z, state.heading, src
             )

@@ -155,6 +155,15 @@ def _load():
             + _common_3d_mid
             + [ctypes.c_uint64, ctypes.c_int, _f32p]
         )
+        _lib.trace_rirs_3d_coherent.restype = ctypes.c_int
+        _lib.trace_rirs_3d_coherent.argtypes = (
+            [_f32p, ctypes.c_int, _f32p]       # recv_xyzh, batch, src_xyz
+            + _common_3d_mid
+            + [ctypes.c_uint64, ctypes.c_int,  # seed, threads
+               ctypes.c_int, ctypes.c_float,   # refresh_rays, max_delta
+               ctypes.c_uint64,                # frame_idx
+               _f32p, _f32p, _f32p]            # state_e, state_pose, out
+        )
         _lib.ray_stats.restype = ctypes.c_int
         _lib.ray_stats.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,  # recv_xz, batch
@@ -789,6 +798,104 @@ class PoseTracer3D:
             int(self.diffraction),
             ctypes.c_uint64(self.seed),
             self.num_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        assert ret == 0
+        return out
+
+
+NUM_BANDS = 4  # kNumBands in csrc/rir_tracer.cpp
+
+
+class CoherentPoseTracer3D(PoseTracer3D):
+    """Temporal-coherence 3-D tracer — the analog of the reference
+    engine's temporalCoherence config (SoundSpaces2.md config table;
+    enabled by the reference's continuous simulator,
+    continuous_simulator.py:115-126, for an ~10x ray reduction under
+    continuous motion).
+
+    Holds the per-env cached stochastic energy field between calls; for
+    pose deltas <= max_delta only ``refresh_rays`` fresh rays are traced
+    per call and exponentially blended into the cache (steady-state
+    effective ray count == num_rays). The direct arrival / ITD / ILD /
+    occlusion / diffraction are recomputed exactly at every call. Call
+    ``reset(indices)`` at episode boundaries (teleports beyond max_delta
+    also force a clean full retrace automatically)."""
+
+    def __init__(self, *args, refresh_rays: int | None = None,
+                 max_delta: float = 0.6, **kw):
+        super().__init__(*args, **kw)
+        self.refresh_rays = (
+            int(refresh_rays) if refresh_rays is not None
+            else max(1, self.num_rays // 10)
+        )
+        self.max_delta = float(max_delta)
+        self._frame = 0
+        self._state_e: np.ndarray | None = None
+        self._state_pose: np.ndarray | None = None
+
+    def reset(self, indices: np.ndarray | None = None):
+        """Invalidate the cached field (all envs, or the given indices)."""
+        if self._state_pose is None:
+            return
+        if indices is None:
+            self._state_pose[:, 6] = 0.0
+        else:
+            self._state_pose[np.asarray(indices), 6] = 0.0
+
+    def _ensure_state(self, batch: int):
+        if self._state_e is None or self._state_e.shape[0] != batch:
+            self._state_e = np.zeros(
+                (batch, NUM_BANDS, self.rir_max_len), np.float32
+            )
+            self._state_pose = np.zeros((batch, 7), np.float32)
+
+    def __call__(
+        self, recv_xyzh: np.ndarray, src_xyz: np.ndarray
+    ) -> np.ndarray:
+        recv = np.ascontiguousarray(recv_xyzh, np.float32).copy()
+        src = np.ascontiguousarray(src_xyz, np.float32).copy()
+        recv[:, 0] -= self._origin[0]
+        recv[:, 2] -= self._origin[1]
+        src[:, 0] -= self._origin[0]
+        src[:, 2] -= self._origin[1]
+        b = recv.shape[0]
+        self._ensure_state(b)
+        out = np.zeros((b, 2, self.rir_max_len), np.float32)
+        self._frame += 1
+        ret = self._lib.trace_rirs_3d_coherent(
+            recv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _mat_ptr(self._mat_id),
+            self._occ.shape[0],
+            self._occ.shape[1],
+            ctypes.c_float(self.grid_size),
+            _f32p_or_null(self._floor),
+            _f32p_or_null(self._ceil),
+            ctypes.c_float(self._fd),
+            ctypes.c_float(self._cd),
+            self.floor_material,
+            self.ceil_material,
+            self.sampling_rate,
+            self.rir_max_len,
+            self.num_rays,
+            self.max_bounces,
+            self._materials.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(self._materials),
+            ctypes.c_float(self.air_absorption),
+            int(self.transmission),
+            int(self.diffraction),
+            ctypes.c_uint64(self.seed),
+            self.num_threads,
+            self.refresh_rays,
+            ctypes.c_float(self.max_delta),
+            ctypes.c_uint64(self._frame),
+            self._state_e.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._state_pose.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            ),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         assert ret == 0
