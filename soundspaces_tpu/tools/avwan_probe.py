@@ -126,12 +126,176 @@ def run_probe(cfg, episodes: int, num_envs: int, oracle_tables: bool):
     return out
 
 
+def waypoint_costs(env, scene, tables, state):
+    """Per-env per-cell waypoint path costs over the CURRENT mask:
+    (valid, h_nt + h_tg, h_tg) for every action-map cell — the same cost
+    the oracle minimizes, evaluated for ALL cells so a learned choice can
+    be scored against the oracle's."""
+    a = env.wp.mapper.action_map_size
+    idxs = jnp.arange(a * a)
+    rows, cols = idxs // a, idxs % a
+
+    from soundspaces_tpu.scene.graph import UNREACHABLE
+
+    def one(st):
+        base = st.base
+        tnode = env._waypoint_node(scene, tables, base, rows, cols)
+        mask = env._action_mask(scene, tables, st)
+        tn = jnp.maximum(tnode, 0)
+        h_nt = scene.geodesic_hops[base.node, tn].astype(jnp.int32)
+        h_tg = scene.geodesic_hops[tn, base.goal_node].astype(jnp.int32)
+        valid = (
+            (mask > 0.5)
+            & (tnode >= 0)
+            & (h_nt < UNREACHABLE)
+            & (h_tg < UNREACHABLE)
+        )
+        h_ng = scene.geodesic_hops[base.node, base.goal_node].astype(
+            jnp.int32
+        )
+        return valid, h_nt + h_tg, h_tg, h_ng
+
+    return jax.vmap(one)(state)
+
+
+def run_policy_probe(cfg, ckpt: str, episodes: int, num_envs: int):
+    """Instrument the LEARNED waypoint policy against the oracle on the
+    identical states it visits (VERDICT-r4 #3: if the annealed retrain
+    doesn't close the SPL gap, name the cause). Per prediction step:
+      oracle_match     — chose exactly the oracle's argmin cell
+      on_shortest_path — chosen cell keeps h_nt+h_tg == oracle minimum
+                         (an on-path waypoint, maybe a nearer one)
+      excess_hops      — (h_nt+h_tg)[chosen] - oracle minimum (detour size)
+      progress_hops    — h_ng - h_tg[chosen] (goalward progress bought)
+      oracle_progress  — the oracle's progress on the same state
+      early_stop       — chose the STOP center cell while off-goal
+    plus the standard episode measures."""
+    import dataclasses
+
+    from soundspaces_tpu import trainers  # noqa: F401 (registry)
+    from soundspaces_tpu.builder import build_trainer
+
+    cfg = dataclasses.replace(
+        cfg, trainer=dataclasses.replace(cfg.trainer, num_envs=num_envs)
+    )
+    trainer = build_trainer(cfg)
+    params, opt_state, carry0 = trainer.init_state(
+        jax.random.PRNGKey(cfg.trainer.seed)
+    )
+    params, _, update = trainer.load_checkpoint(ckpt, params, opt_state)
+    env = trainer.eval_env or trainer.env
+    policy = trainer.policy
+    a = env.wp.mapper.action_map_size
+    center = a * a // 2
+
+    rng = jax.random.PRNGKey(cfg.data.seed)
+    rng, reset_key = jax.random.split(rng)
+    state, obs = env.reset(reset_key)
+    hidden = jnp.zeros((env.num_envs, trainer.ppo.hidden_size), jnp.float32)
+    prev_done = jnp.zeros(env.num_envs, bool)
+
+    @jax.jit
+    def diag_step(scene, eps, tables, params, state, obs, hidden,
+                  prev_done, key):
+        masks = 1.0 - prev_done.astype(jnp.float32)
+        amask = obs["action_map"].reshape(env.num_envs, -1)
+        action, _, _, hidden = policy.apply(
+            params, obs, hidden, masks, key, True, amask,
+            method=policy.act,
+        )
+        act = action.reshape(-1).astype(jnp.int32)
+        valid, cost, h_tg, h_ng = waypoint_costs(env, scene, tables, state)
+        big = jnp.int32(2**30)
+        vcost = jnp.where(valid, cost, big)
+        omin = jnp.min(vcost, axis=1)
+        obest = jnp.argmin(vcost, axis=1).astype(jnp.int32)
+        take = lambda m: jnp.take_along_axis(m, act[:, None], 1)[:, 0]
+        c_cost, c_htg, c_valid = take(cost), take(h_tg), take(valid)
+        live = (~prev_done) & (h_ng > 0) & (omin < big)
+        diag = dict(
+            oracle_match=(act == obest) & live,
+            on_shortest_path=(c_cost == omin) & c_valid & live,
+            excess_hops=jnp.where(
+                live & c_valid, (c_cost - omin).astype(jnp.float32), 0.0
+            ),
+            progress_hops=jnp.where(
+                live & c_valid, (h_ng - c_htg).astype(jnp.float32), 0.0
+            ),
+            oracle_progress=jnp.where(
+                live,
+                (h_ng
+                 - jnp.take_along_axis(h_tg, obest[:, None], 1)[:, 0]
+                 ).astype(jnp.float32),
+                0.0,
+            ),
+            early_stop=(act == center) & live,
+            invalid_choice=(~c_valid) & live,
+            live=live,
+        )
+        state, obs, _, done, info = env.step_pure(
+            scene, eps, tables, state, action
+        )
+        return state, obs, hidden, done, info, diag
+
+    totals: dict[str, float] = {}
+    dsum: dict[str, float] = {}
+    nlive = 0
+    count = 0
+    t0 = time.time()
+    max_steps = env.cfg.max_episode_steps * (episodes // env.num_envs + 2)
+    for _ in range(max_steps):
+        rng, key = jax.random.split(rng)
+        state, obs, hidden, done, info, diag = diag_step(
+            env.base.scene, env.base.episodes, env.tables(), params,
+            state, obs, hidden, prev_done, key,
+        )
+        prev_done = done
+        dg = jax.device_get(diag)
+        live = dg.pop("live")
+        nlive += int(live.sum())
+        for k, v in dg.items():
+            dsum[k] = dsum.get(k, 0.0) + float(
+                np.asarray(v, np.float64).sum()
+            )
+        d = np.asarray(done)
+        if d.any():
+            fetched = jax.device_get(info)
+            ep_valid = fetched.pop("ep_valid", None)
+            for i in np.nonzero(d)[0]:
+                if count >= episodes:
+                    break
+                if ep_valid is not None and ep_valid[i] == 0.0:
+                    continue
+                count += 1
+                for k, v in fetched.items():
+                    totals[k] = totals.get(k, 0.0) + float(v[i])
+        if count >= episodes:
+            break
+    out = {k: v / max(count, 1) for k, v in sorted(totals.items())}
+    out.update(
+        {f"wp_{k}": v / max(nlive, 1) for k, v in sorted(dsum.items())}
+    )
+    out["wp_prediction_steps"] = float(nlive)
+    out["episode_count"] = float(count)
+    out["mode"] = "learned_policy"
+    out["checkpoint"] = ckpt
+    out["update"] = float(update)
+    out["probe_secs"] = round(time.time() - t0, 1)
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp-config", default="configs/realistic_avwan.yaml")
     ap.add_argument("--episodes", type=int, default=100)
     ap.add_argument("--num-envs", type=int, default=10)
     ap.add_argument("--oracle-tables", action="store_true")
+    ap.add_argument(
+        "--policy-checkpoint", default=None,
+        help="instrument the LEARNED waypoint policy from this checkpoint "
+        "against the oracle on identical states (instead of the oracle "
+        "drive)",
+    )
     ap.add_argument(
         "--force-cpu",
         action=argparse.BooleanOptionalAction,
@@ -145,7 +309,12 @@ def main(argv=None):
     from soundspaces_tpu.config import get_config
 
     cfg = get_config(args.exp_config, [])
-    out = run_probe(cfg, args.episodes, args.num_envs, args.oracle_tables)
+    if args.policy_checkpoint:
+        out = run_policy_probe(
+            cfg, args.policy_checkpoint, args.episodes, args.num_envs
+        )
+    else:
+        out = run_probe(cfg, args.episodes, args.num_envs, args.oracle_tables)
     print(json.dumps(out), flush=True)
 
 
