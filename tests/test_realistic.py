@@ -183,3 +183,44 @@ def test_unknown_episode_field_fails_loudly(tmp_path):
         f.write(json.dumps({"episodes": [{"episode_id": "0", "surprise": 1}]}))
     with pytest.raises(AssertionError, match="surprise"):
         AudioNavDataset.from_split(str(path))
+
+
+def test_audionav_episodes_only_augmentation(world):
+    """make_realistic --audionav-episodes: a hop-bounded episode dataset
+    written against an ALREADY-built world (graph/RIRs/frames untouched)
+    under its own datasets/<name>/ root, in the reference schema with the
+    requested geodesic band (the round-5 short-horizon continuous
+    datasets, configs/realistic_continuous_short.yaml)."""
+    import gzip
+    import json
+
+    from soundspaces_tpu.scene import SceneGraph
+    from soundspaces_tpu.tools.make_realistic import (
+        augment_audionav_episodes,
+    )
+
+    out, _ = world
+    summary = augment_audionav_episodes(
+        out, scene="tiny", train_episodes=12, val_episodes=4,
+        test_episodes=4, seed=3, min_hops=2, max_hops=5,
+        dataset_name="audionav_short",
+    )
+    assert summary["hops"] == [2, 5]
+    g = SceneGraph.from_metadata(os.path.join(out, "metadata", "tiny"))
+    # reference layout: {split}.json.gz is the (possibly empty) container,
+    # content/{scene}.json.gz holds the scene's episodes
+    path = os.path.join(
+        out, "datasets", "audionav_short", "tiny", "train", "content",
+        "tiny.json.gz"
+    )
+    with gzip.open(path, "rt") as f:
+        eps = json.load(f)["episodes"]
+    assert len(eps) == 12
+    for ep in eps:
+        hops = ep["info"]["geodesic_distance"] / g.grid_size
+        assert 2 <= round(hops) <= 5
+    # the original full-range dataset is untouched
+    assert os.path.exists(
+        os.path.join(out, "datasets", "audionav", "tiny", "train",
+                     "train.json.gz")
+    )
