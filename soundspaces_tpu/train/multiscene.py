@@ -42,25 +42,27 @@ def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
     g_max = max(s.rir.shape[2] for s in scenes)
 
     def stack(get, fill=0, edge=False):
-        arrs = [np.asarray(get(s)) for s in scenes]
+        # pad + stack ON DEVICE: from_assets already placed (and computed)
+        # the banks device-side, and pulling them back with np.asarray is
+        # a large D2H fetch — which the axon tunnel categorically rejects
+        # (UNIMPLEMENTED; the r4 multiscene chip step died exactly here)
+        arrs = [jnp.asarray(get(s)) for s in scenes]
         target = tuple(max(a.shape[i] for a in arrs) for i in range(arrs[0].ndim))
         out = []
         for a in arrs:
+            pads = [(0, t - s_) for s_, t in zip(a.shape, target)]
             if edge:
                 # replicate the last valid entry instead of zero-filling:
                 # padded nodes then alias a real node, so nearest-node
                 # searches, walkability checks and bbox reductions over the
                 # padded axis are unaffected (phantom nodes at the origin
                 # were reachable through _walkable/_nearest_node otherwise)
-                pads = [(0, t - s_) for s_, t in zip(a.shape, target)]
-                out.append(np.pad(a, pads, mode="edge"))
+                out.append(jnp.pad(a, pads, mode="edge"))
             elif fill != 0:
-                padded = np.full(target, fill, a.dtype)
-                padded[tuple(slice(0, d) for d in a.shape)] = a
-                out.append(padded)
+                out.append(jnp.pad(a, pads, constant_values=fill))
             else:
-                out.append(_pad_to(a, target))
-        return jnp.asarray(np.stack(out))
+                out.append(jnp.pad(a, pads))
+        return jnp.stack(out)
 
     first = scenes[0]
     assert all(s.sampling_rate == first.sampling_rate for s in scenes)
@@ -105,32 +107,35 @@ def stack_episode_banks(banks: Sequence[EpisodeBank]) -> EpisodeBank:
     e_max = max(b.num_episodes for b in banks)
 
     def stack(get, fill=0):
+        # stays on device end-to-end (see stack_scenes: np.asarray of a
+        # device array is a D2H fetch the axon tunnel rejects)
         arrs = []
         for b in banks:
-            a = np.asarray(get(b))
+            a = jnp.asarray(get(b))
             reps = -(-e_max // a.shape[0])
-            arrs.append(np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:e_max])
+            arrs.append(jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:e_max])
         # pad ragged trailing dims (e.g. per-scene view-point counts)
         target = tuple(
             max(a.shape[d] for a in arrs) for d in range(1, arrs[0].ndim)
         )
         padded = []
         for a in arrs:
-            out = np.full((e_max,) + target, fill, a.dtype)
-            out[(slice(None),) + tuple(slice(0, s) for s in a.shape[1:])] = a
-            padded.append(out)
-        return jnp.asarray(np.stack(padded))
+            pads = [(0, 0)] + [
+                (0, t - s) for s, t in zip(a.shape[1:], target)
+            ]
+            padded.append(jnp.pad(a, pads, constant_values=fill))
+        return jnp.stack(padded)
 
-    valid = jnp.asarray(
-        np.stack([
-            (np.arange(e_max) < b.num_episodes)
+    valid = jnp.stack(
+        [
+            (jnp.arange(e_max) < b.num_episodes)
             & (
-                np.asarray(b.valid)[np.arange(e_max) % b.num_episodes]
+                jnp.asarray(b.valid)[jnp.arange(e_max) % b.num_episodes]
                 if b.valid is not None
-                else True
+                else jnp.ones(e_max, bool)
             )
             for b in banks
-        ])
+        ]
     )
     return EpisodeBank(
         valid=valid,

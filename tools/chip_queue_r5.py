@@ -41,6 +41,21 @@ JOB = [sys.executable, "-m", "soundspaces_tpu.tools.train_eval_job"]
 # (name, cmd, {src_in_model_dir_or_abs: results_artifact}, stale_s)
 STEPS = [
     (
+        "multiscene",
+        # re-run of the r4 step that failed 3/3 attempts on the chip: the
+        # old stack_scenes pulled device banks back with np.asarray — a
+        # large D2H fetch the tunnel rejects (UNIMPLEMENTED). Fixed to pad
+        # + stack on device (train/multiscene.py); twice-missed
+        # VERDICT item, so it runs first.
+        JOB + ["--exp-config", "configs/realistic_multiscene.yaml",
+               "--model-dir", f"{MODELS}/multi_r5", "--eval-interval", "3",
+               "trainer.num_updates=1600"],
+        {f"{MODELS}/multi_r5/train.log":
+            "realistic_multiscene_r5_train.jsonl",
+         f"{MODELS}/multi_r5/val.log": "realistic_multiscene_r5_val.jsonl"},
+        1800,
+    ),
+    (
         "cont_short",
         JOB + ["--exp-config", "configs/realistic_continuous_short.yaml",
                "--model-dir", f"{MODELS}/cont_short_r5",
