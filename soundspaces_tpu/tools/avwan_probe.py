@@ -310,9 +310,13 @@ def main(argv=None):
 
     cfg = get_config(args.exp_config, [])
     if args.policy_checkpoint:
-        out = run_policy_probe(
-            cfg, args.policy_checkpoint, args.episodes, args.num_envs
-        )
+        ckpt = args.policy_checkpoint
+        if ckpt.startswith("latest:"):
+            from soundspaces_tpu.train.trainer import latest_checkpoint
+
+            ckpt = latest_checkpoint(ckpt[len("latest:"):])
+            assert ckpt, "no checkpoints in the given folder"
+        out = run_policy_probe(cfg, ckpt, args.episodes, args.num_envs)
     else:
         out = run_probe(cfg, args.episodes, args.num_envs, args.oracle_tables)
     print(json.dumps(out), flush=True)

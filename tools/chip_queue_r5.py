@@ -96,13 +96,37 @@ STEPS = [
         {"__json_stdout__": "bench_profile_r5.json"},
         2400,
     ),
+    # AV-WaN in two stages so a round-end cut mid-train still leaves a
+    # COMPLETE train+val artifact from stage a (r3's lesson: the 5200-update
+    # continuation finished training but its val sweep never ran)
     (
-        "avwan",
+        "avwan_a",
+        JOB + ["--exp-config", "configs/realistic_avwan.yaml",
+               "--model-dir", f"{MODELS}/avwan_r5", "--eval-interval", "5"],
+        {f"{MODELS}/avwan_r5/train.log": "realistic_avwan_r5_train.jsonl",
+         f"{MODELS}/avwan_r5/val.log": "realistic_avwan_r5_val.jsonl"},
+        2400,
+    ),
+    (
+        "avwan_b",
         JOB + ["--exp-config", "configs/realistic_avwan.yaml",
                "--model-dir", f"{MODELS}/avwan_r5", "--eval-interval", "5",
                "trainer.num_updates=5200"],
         {f"{MODELS}/avwan_r5/train.log": "realistic_avwan_r5_train.jsonl",
          f"{MODELS}/avwan_r5/val.log": "realistic_avwan_r5_val.jsonl"},
+        2400,
+    ),
+    (
+        "avwan_probe",
+        # learned-policy vs oracle instrumentation on the retrained ckpt
+        # (VERDICT-r4 #3's named-cause fallback); runs on the chip — the
+        # per-step device_get of small diag arrays matches what the val
+        # sweeps already do
+        [sys.executable, "-m", "soundspaces_tpu.tools.avwan_probe",
+         "--exp-config", "configs/realistic_avwan.yaml",
+         "--episodes", "60", "--num-envs", "10", "--no-force-cpu",
+         "--policy-checkpoint", f"latest:{MODELS}/avwan_r5/ckpts"],
+        {"__json_stdout__": "avwan_policy_probe_r5.json"},
         2400,
     ),
 ]
