@@ -34,11 +34,16 @@ RUNGS = [
     ("audiogoal", "audiogoal"),
     ("spectrogram", "spectrogram"),
     ("full", "spectrogram,depth"),
+    # the HBM-bandwidth lever: (re, im)-packed bf16 RIR spectra halve the
+    # dominant per-step bank gather (bench.py SS_TPU_BF16_FFT). Timed last
+    # — if the convolution rung shows the step is conv/gather-bound, this
+    # says whether flipping the default would move the headline.
+    ("full_bf16_spectra", "spectrogram,depth"),
 ]
 
 
-def run_rung(sensors: str) -> float:
-    env = dict(os.environ, SS_TPU_SENSORS=sensors)
+def run_rung(sensors: str, extra_env: dict | None = None) -> float:
+    env = dict(os.environ, SS_TPU_SENSORS=sensors, **(extra_env or {}))
     proc = subprocess.run(
         [sys.executable, BENCH, "--single", CFG],
         capture_output=True, text=True, timeout=1500, cwd=REPO, env=env,
@@ -59,7 +64,11 @@ def main():
     errors = []
     for name, sensors in RUNGS:
         try:
-            rates[name] = run_rung(sensors)
+            extra = (
+                {"SS_TPU_BF16_FFT": "1"} if name.endswith("bf16_spectra")
+                else None
+            )
+            rates[name] = run_rung(sensors, extra)
             out["rates_obs_per_s"][name] = round(rates[name], 1)
             print(f"[profile] {name} ({sensors}): {rates[name]:.0f} obs/s",
                   file=sys.stderr, flush=True)
