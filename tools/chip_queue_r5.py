@@ -41,6 +41,15 @@ JOB = [sys.executable, "-m", "soundspaces_tpu.tools.train_eval_job"]
 # (name, cmd, {src_in_model_dir_or_abs: results_artifact}, stale_s)
 STEPS = [
     (
+        "pallas",
+        # re-run of the r4 step that failed 3/3: the probe was invoked by
+        # path, which put tools/ (not the repo root) on sys.path; the
+        # probe now fixes its own sys.path. Quick (~2 min), so it leads.
+        [sys.executable, "tools/pallas_chip_probe.py"],
+        {"__json_stdout__": "pallas_probe_r4.json"},
+        1200,
+    ),
+    (
         "multiscene",
         # re-run of the r4 step that failed 3/3 attempts on the chip: the
         # old stack_scenes pulled device banks back with np.asarray — a

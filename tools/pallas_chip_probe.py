@@ -17,7 +17,14 @@ Prints one JSON line: {"pallas_ok": bool, "max_err": float,
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+# invocation-robust: `python tools/pallas_chip_probe.py` puts tools/ (not
+# the repo root) on sys.path — the r4 queue's pallas step failed 3/3 on
+# exactly this ModuleNotFoundError
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
