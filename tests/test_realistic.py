@@ -224,3 +224,46 @@ def test_audionav_episodes_only_augmentation(world):
         os.path.join(out, "datasets", "audionav", "tiny", "train",
                      "train.json.gz")
     )
+
+
+def test_realistic44_world_in_tree_is_consistent():
+    """The committed 44.1 kHz world (data/realistic44, the north-star
+    bench's real-asset operating point — configs/realistic44_audiogoal.yaml,
+    results/bench_realistic44_r4.jsonl) must stay loadable and internally
+    consistent: config paths exist, the metadata graph matches world.json,
+    episode datasets parse, and one RIR wav reads back at 44.1 kHz."""
+    import gzip
+    import json as _json
+
+    root = os.path.join(os.path.dirname(__file__), "..", "data", "realistic44")
+    if not os.path.isdir(root):
+        pytest.skip("data/realistic44 not built")
+    with open(os.path.join(root, "world.json")) as f:
+        world = _json.load(f)
+    assert world["sampling_rate"] == 44100 and world["rir_max_len"] == 44100
+
+    from soundspaces_tpu.config import get_config
+    from soundspaces_tpu.scene import SceneGraph
+
+    cfg = get_config("configs/realistic44_audiogoal.yaml", [])
+    for p in (cfg.data.metadata_dir, cfg.data.binaural_rir_dir,
+              cfg.data.source_sound_dir, cfg.data.scene_observation_file,
+              cfg.data.episode_split_path, cfg.data.eval_episode_split_path):
+        assert os.path.exists(p), p
+
+    g = SceneGraph.from_metadata(cfg.data.metadata_dir)
+    assert g.num_nodes == world["num_nodes"]
+
+    scene = world["scene"]
+    with gzip.open(os.path.join(root, "datasets", "audionav", scene,
+                                "train", "content", f"{scene}.json.gz"),
+                   "rt") as f:
+        eps = _json.load(f)["episodes"]
+    assert len(eps) == world["episodes"]["train"]
+
+    from scipy.io import wavfile
+
+    ang = os.path.join(cfg.data.binaural_rir_dir, "0")
+    wav = sorted(os.listdir(ang))[0]
+    sr, data = wavfile.read(os.path.join(ang, wav))
+    assert sr == 44100 and data.shape[1] == 2 and data.shape[0] > 0
