@@ -7,16 +7,18 @@ stale-log watchdog for tunnel wedges, auto-resume from the model dir's
 latest checkpoint, artifacts snapshotted into results/ and committed
 after each step.
 
-Steps (VERDICT-r4 "Next round" order):
-  1. cont_short   — short-horizon (4-16 hop) continuous train: the r4
+Steps (VERDICT-r4 priority, cheap/certain artifacts front-loaded):
+  0. pallas / multiscene — re-runs of the two r4 steps that failed on
+     real bugs (probe sys.path; stack_scenes D2H), both fixed
+  1. bench_profile — one-shot attribution of the flat north-star bench
+     (25 min, certain — runs before the long trainings)
+  2. cont_short   — short-horizon (4-16 hop) continuous train: the r4
                     full-range run was budget/horizon-starved, not buggy
                     (see configs/realistic_continuous_short.yaml header)
-  2. savi_ext     — extend SAVi beliefs-ON to 4000 updates (resumes
-                    /tmp/models/savi_r4; both ablation arms were still
-                    rising at the 2000-update budget)
-  3. savi_ablate_ext — same extension for the zeroed-belief arm
-  4. bench_profile — one-shot attribution of the flat north-star bench
-  5. avwan        — LAST: annealed-recipe retrain absorbs remaining time
+  3. savi_ext / savi_ablate_ext — extend both SAVi ablation arms to
+     4000 updates (both still rising at the 2000-update budget)
+  4. avwan_a/b    — annealed retrain in two stages (complete artifact at
+     2600 before the 5200 continuation), then the oracle-vs-policy probe
 
 Run:  python tools/chip_queue_r5.py [--from STEP] [--only STEP]
 State: /tmp/queue_r5_state.log   Logs: /tmp/queue_r5/<step>.log
@@ -65,6 +67,12 @@ STEPS = [
         1800,
     ),
     (
+        "bench_profile",
+        [sys.executable, "tools/bench_profile.py"],
+        {"__json_stdout__": "bench_profile_r5.json"},
+        2400,
+    ),
+    (
         "cont_short",
         JOB + ["--exp-config", "configs/realistic_continuous_short.yaml",
                "--model-dir", f"{MODELS}/cont_short_r5",
@@ -98,12 +106,6 @@ STEPS = [
          f"{MODELS}/savi_r4_ablate/val.log":
             "realistic_savi_r4b_ablate_val.jsonl"},
         1200,
-    ),
-    (
-        "bench_profile",
-        [sys.executable, "tools/bench_profile.py"],
-        {"__json_stdout__": "bench_profile_r5.json"},
-        2400,
     ),
     # AV-WaN in two stages so a round-end cut mid-train still leaves a
     # COMPLETE train+val artifact from stage a (r3's lesson: the 5200-update
