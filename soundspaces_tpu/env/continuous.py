@@ -440,11 +440,13 @@ class ContinuousAudioNavEnv:
     def _reset_one(self, scene, episodes, rng, env_id):
         state = self._load_episode(scene, episodes, rng, env_id)
         if self.config.rir_source in FRESH_RIR_SOURCES:
-            rir = self._fresh_rir(scene, state)
+            all_fresh = jnp.ones(jnp.shape(state.x), bool)
+            rir = self._fresh_rir(scene, state, fresh=all_fresh)
             updates = dict(rir=rir, prev_rir=rir)
             if self.config.has_distractor_sound:
                 d_rir = self._fresh_rir(
-                    scene, state, self._distractor_node(scene, state)
+                    scene, state, self._distractor_node(scene, state),
+                    slot=1, fresh=all_fresh,
                 )
                 updates.update(d_rir=d_rir, prev_d_rir=d_rir)
             state = state.replace(**updates)
@@ -459,17 +461,20 @@ class ContinuousAudioNavEnv:
             scene.goal_slot_of_node == d_slot
         ).astype(jnp.int32)
 
-    def _fresh_rir(self, scene, state, src_node=None):
+    def _fresh_rir(self, scene, state, src_node=None, slot=0, fresh=None):
         """Pose-exact RIR at the state's continuous pose: native ray trace
         (host callback), on-device parametric synthesis, or the distilled
         neural RIR field (ops/neural_rir.py). `src_node` overrides the
-        source position (distractor rendering)."""
+        source position (distractor rendering); `slot`/`fresh` drive the
+        coherent tracer's per-source cache and episode-boundary
+        invalidation (tools/rir_synth.py CoherentPoseTracer3D)."""
         src = state.goal_node if src_node is None else src_node
         if self.config.rir_source in (
             "tracer", "tracer3d", "tracer3d_coherent"
         ):
             return self._traced_rir(
-                scene, state.x, state.z, state.heading, src
+                scene, state.x, state.z, state.heading, src,
+                slot=slot, fresh=fresh,
             )
         if self.config.rir_source == "neural":
             return self._neural_rir(scene, state, src)
@@ -604,12 +609,17 @@ class ContinuousAudioNavEnv:
         new_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), fresh, continued)
         if self.config.rir_source in FRESH_RIR_SOURCES:
             # render the merged pose ONCE; the previous pose's RIR is carried
-            # (on reset, prev = current so the crossfade is a no-op)
-            rir = self._fresh_rir(scene, new_state)
+            # (on reset, prev = current so the crossfade is a no-op).
+            # `fresh=done` invalidates the coherent tracer's cache for
+            # auto-reset envs (a new episode spawning near the old pose
+            # must not reuse the dead episode's field)
+            rir = self._fresh_rir(scene, new_state, fresh=done)
             updates = dict(rir=rir, prev_rir=jnp.where(done, rir, state.rir))
             if self.config.has_distractor_sound:
                 d_rir = self._fresh_rir(
-                    scene, new_state, self._distractor_node(scene, new_state)
+                    scene, new_state,
+                    self._distractor_node(scene, new_state),
+                    slot=1, fresh=done,
                 )
                 updates.update(
                     d_rir=d_rir,
@@ -619,7 +629,8 @@ class ContinuousAudioNavEnv:
         return new_state, self._observe(scene, new_state), reward, done, info
 
     # -------------------------------------------------------------- sensors
-    def _traced_rir(self, scene, x, z, heading, goal_node):
+    def _traced_rir(self, scene, x, z, heading, goal_node, slot=0,
+                    fresh=None):
         """Fresh RIR at the exact continuous pose via the native ray tracer
         (host callback; the role of sim.get_sensor_observations()['audio_
         sensor'], continuous_simulator.py:408-412)."""
@@ -631,6 +642,26 @@ class ContinuousAudioNavEnv:
         ).astype(jnp.float32)
         rir_len = scene.rir_max_len
         tracer = self._tracer
+        coherent = self.config.rir_source == "tracer3d_coherent"
+        if fresh is None:
+            fresh = jnp.zeros(recv.shape[:-1], bool)
+
+        if coherent:
+
+            def host(recv_np, src_np, fresh_np):
+                r = np.asarray(recv_np, np.float32)
+                s = np.asarray(src_np, np.float32)
+                lead = r.shape[:-1]
+                out = tracer(
+                    r.reshape(-1, 3), s.reshape(-1, 2), slot=slot,
+                    fresh=np.asarray(fresh_np, bool).reshape(-1),
+                )
+                return out.reshape(lead + (2, rir_len)).astype(np.float32)
+
+            shape = jax.ShapeDtypeStruct((2, rir_len), jnp.float32)
+            return jax.pure_callback(
+                host, shape, recv, src, fresh, vmap_method="broadcast_all"
+            )
 
         def host(recv_np, src_np):
             r = np.asarray(recv_np, np.float32)

@@ -39,36 +39,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _cell_costs(env, scene, tables, st, rows, cols):
+    """Shared per-cell waypoint evaluation for ONE env state: (valid,
+    path = h_nt + h_tg, h_tg, h_ng). The oracle drive and the
+    learned-policy diagnostics both derive from exactly these terms, so
+    they cannot drift apart."""
+    from soundspaces_tpu.scene.graph import UNREACHABLE
+
+    base = st.base
+    tnode = env._waypoint_node(scene, tables, base, rows, cols)
+    mask = env._action_mask(scene, tables, st)
+    tn = jnp.maximum(tnode, 0)
+    h_nt = scene.geodesic_hops[base.node, tn].astype(jnp.int32)
+    h_tg = scene.geodesic_hops[tn, base.goal_node].astype(jnp.int32)
+    valid = (
+        (mask > 0.5)
+        & (tnode >= 0)
+        & (h_nt < UNREACHABLE)
+        & (h_tg < UNREACHABLE)
+    )
+    h_ng = scene.geodesic_hops[base.node, base.goal_node].astype(jnp.int32)
+    return valid, h_nt + h_tg, h_tg, h_ng
+
+
+def _oracle_cost(valid, path, h_tg):
+    """The oracle's tie-broken cost: primary stay-on-a-shortest-path
+    (minimal h_nt + h_tg), secondary maximal progress (minimal h_tg) —
+    the STOP center cell ties on the primary term but always loses the
+    tie-break to any forward on-path cell."""
+    cost = path * 10000 + h_tg
+    return jnp.where(valid, cost, jnp.int32(2**30))
+
+
 def oracle_waypoints(env, scene, tables, state):
     """Per-env oracle waypoint indices over the CURRENT action mask."""
     a = env.wp.mapper.action_map_size
     idxs = jnp.arange(a * a)
     rows, cols = idxs // a, idxs % a
 
-    from soundspaces_tpu.scene.graph import UNREACHABLE
-
     def one(st):
-        base = st.base
-        tnode = env._waypoint_node(scene, tables, base, rows, cols)
-        mask = env._action_mask(scene, tables, st)
-        tn = jnp.maximum(tnode, 0)
-        h_nt = scene.geodesic_hops[base.node, tn].astype(jnp.int32)
-        h_tg = scene.geodesic_hops[tn, base.goal_node].astype(jnp.int32)
-        valid = (
-            (mask > 0.5)
-            & (tnode >= 0)
-            & (h_nt < UNREACHABLE)
-            & (h_tg < UNREACHABLE)
+        valid, path, h_tg, h_ng = _cell_costs(
+            env, scene, tables, st, rows, cols
         )
-        # primary: stay on a shortest path (h_nt + h_tg minimal);
-        # secondary: maximal progress along it (minimal h_tg) — the STOP
-        # center cell ties on the primary term but always loses the
-        # tie-break to any forward on-path cell
-        cost = (h_nt + h_tg) * 10000 + h_tg
-        cost = jnp.where(valid, cost, jnp.int32(2**30))
-        best = jnp.argmin(cost).astype(jnp.int32)
-        at_goal = scene.geodesic_hops[base.node, base.goal_node] == 0
-        return jnp.where(at_goal, jnp.int32(a * a // 2), best)
+        best = jnp.argmin(_oracle_cost(valid, path, h_tg)).astype(jnp.int32)
+        return jnp.where(h_ng == 0, jnp.int32(a * a // 2), best)
 
     return jax.vmap(one)(state)
 
@@ -127,35 +141,15 @@ def run_probe(cfg, episodes: int, num_envs: int, oracle_tables: bool):
 
 
 def waypoint_costs(env, scene, tables, state):
-    """Per-env per-cell waypoint path costs over the CURRENT mask:
-    (valid, h_nt + h_tg, h_tg) for every action-map cell — the same cost
-    the oracle minimizes, evaluated for ALL cells so a learned choice can
-    be scored against the oracle's."""
+    """Vectorized _cell_costs over the batch: per-env per-cell (valid,
+    h_nt + h_tg, h_tg, h_ng) so a learned choice can be scored against
+    the oracle's on identical terms."""
     a = env.wp.mapper.action_map_size
     idxs = jnp.arange(a * a)
     rows, cols = idxs // a, idxs % a
-
-    from soundspaces_tpu.scene.graph import UNREACHABLE
-
-    def one(st):
-        base = st.base
-        tnode = env._waypoint_node(scene, tables, base, rows, cols)
-        mask = env._action_mask(scene, tables, st)
-        tn = jnp.maximum(tnode, 0)
-        h_nt = scene.geodesic_hops[base.node, tn].astype(jnp.int32)
-        h_tg = scene.geodesic_hops[tn, base.goal_node].astype(jnp.int32)
-        valid = (
-            (mask > 0.5)
-            & (tnode >= 0)
-            & (h_nt < UNREACHABLE)
-            & (h_tg < UNREACHABLE)
-        )
-        h_ng = scene.geodesic_hops[base.node, base.goal_node].astype(
-            jnp.int32
-        )
-        return valid, h_nt + h_tg, h_tg, h_ng
-
-    return jax.vmap(one)(state)
+    return jax.vmap(
+        lambda st: _cell_costs(env, scene, tables, st, rows, cols)
+    )(state)
 
 
 def run_policy_probe(cfg, ckpt: str, episodes: int, num_envs: int):
@@ -208,7 +202,13 @@ def run_policy_probe(cfg, ckpt: str, episodes: int, num_envs: int):
         big = jnp.int32(2**30)
         vcost = jnp.where(valid, cost, big)
         omin = jnp.min(vcost, axis=1)
-        obest = jnp.argmin(vcost, axis=1).astype(jnp.int32)
+        # the oracle's argmin uses the TIE-BROKEN cost (max progress among
+        # on-path cells) — argmin over the raw path cost would pick an
+        # arbitrary tied cell (often the zero-progress STOP center) and
+        # garbage both oracle_match and oracle_progress
+        obest = jnp.argmin(
+            _oracle_cost(valid, cost, h_tg), axis=1
+        ).astype(jnp.int32)
         take = lambda m: jnp.take_along_axis(m, act[:, None], 1)[:, 0]
         c_cost, c_htg, c_valid = take(cost), take(h_tg), take(valid)
         live = (~prev_done) & (h_ng > 0) & (omin < big)

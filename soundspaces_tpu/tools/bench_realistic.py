@@ -114,23 +114,10 @@ def main(argv=None):
     from soundspaces_tpu.builder import build_assets, build_env
     from soundspaces_tpu.config import get_config
 
-    # Setup heartbeat: the multi-GB bank upload streams silently for tens
-    # of minutes and the chip-queue watchdog kills on log staleness (the
-    # r4 multiscene lesson; train_eval_job grew the same heartbeat).
-    import threading
+    # Setup heartbeat until the first bench result (see utils/jobs.py)
+    from soundspaces_tpu.utils.jobs import start_setup_heartbeat
 
-    hb_stop = threading.Event()
-
-    def _heartbeat():
-        t0 = time.time()
-        while not hb_stop.wait(240):
-            dt = time.time() - t0
-            if dt > 5400:
-                return
-            print(f"[bench] setup heartbeat +{dt:.0f}s (upload/compile)",
-                  file=sys.stderr, flush=True)
-
-    threading.Thread(target=_heartbeat, daemon=True).start()
+    hb_stop = start_setup_heartbeat("bench", stream=sys.stderr)
 
     cfg = get_config(args.exp_config, [])
     _fetch(jnp.sum(jnp.ones((8, 8))), tries=30)  # establish the D2H channel

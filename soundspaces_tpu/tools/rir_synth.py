@@ -831,28 +831,52 @@ class CoherentPoseTracer3D(PoseTracer3D):
         )
         self.max_delta = float(max_delta)
         self._frame = 0
-        self._state_e: np.ndarray | None = None
-        self._state_pose: np.ndarray | None = None
+        # slot -> (state_e, state_pose): callers rendering SEVERAL sources
+        # per step for the same batch index (goal + distractor in the
+        # continuous env) must use distinct slots, or the alternating
+        # sources would either defeat the reuse (far apart: every call a
+        # full retrace) or blend two sources' fields (within max_delta)
+        self._state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def _state_e(self):
+        st = self._state.get(0)
+        return None if st is None else st[0]
+
+    @property
+    def _state_pose(self):
+        st = self._state.get(0)
+        return None if st is None else st[1]
 
     def reset(self, indices: np.ndarray | None = None):
-        """Invalidate the cached field (all envs, or the given indices)."""
-        if self._state_pose is None:
-            return
-        if indices is None:
-            self._state_pose[:, 6] = 0.0
-        else:
-            self._state_pose[np.asarray(indices), 6] = 0.0
+        """Invalidate the cached field (all envs/slots, or the given
+        env indices)."""
+        for _, pose in self._state.values():
+            if indices is None:
+                pose[:, 6] = 0.0
+            else:
+                pose[np.asarray(indices), 6] = 0.0
 
-    def _ensure_state(self, batch: int):
-        if self._state_e is None or self._state_e.shape[0] != batch:
-            self._state_e = np.zeros(
-                (batch, NUM_BANDS, self.rir_max_len), np.float32
+    def _ensure_state(self, batch: int, slot: int):
+        st = self._state.get(slot)
+        if st is None or st[0].shape[0] != batch:
+            self._state[slot] = (
+                np.zeros((batch, NUM_BANDS, self.rir_max_len), np.float32),
+                np.zeros((batch, 7), np.float32),
             )
-            self._state_pose = np.zeros((batch, 7), np.float32)
+        return self._state[slot]
 
     def __call__(
-        self, recv_xyzh: np.ndarray, src_xyz: np.ndarray
+        self,
+        recv_xyzh: np.ndarray,
+        src_xyz: np.ndarray,
+        slot: int = 0,
+        fresh: np.ndarray | None = None,
     ) -> np.ndarray:
+        """`slot` separates caches for distinct per-step sources; `fresh`
+        (bool [B]) force-invalidates rows first — the continuous env
+        passes its auto-reset `done` mask so a new episode starting near
+        the previous pose still gets a clean full retrace."""
         recv = np.ascontiguousarray(recv_xyzh, np.float32).copy()
         src = np.ascontiguousarray(src_xyz, np.float32).copy()
         recv[:, 0] -= self._origin[0]
@@ -860,7 +884,9 @@ class CoherentPoseTracer3D(PoseTracer3D):
         src[:, 0] -= self._origin[0]
         src[:, 2] -= self._origin[1]
         b = recv.shape[0]
-        self._ensure_state(b)
+        state_e, state_pose = self._ensure_state(b, int(slot))
+        if fresh is not None:
+            state_pose[np.asarray(fresh, bool), 6] = 0.0
         out = np.zeros((b, 2, self.rir_max_len), np.float32)
         self._frame += 1
         ret = self._lib.trace_rirs_3d_coherent(
@@ -892,10 +918,8 @@ class CoherentPoseTracer3D(PoseTracer3D):
             self.refresh_rays,
             ctypes.c_float(self.max_delta),
             ctypes.c_uint64(self._frame),
-            self._state_e.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._state_pose.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_float)
-            ),
+            state_e.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            state_pose.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         assert ret == 0
@@ -936,7 +960,7 @@ class HorizontalPoseAdapter:
         return t._floor[gz, gx]
 
     def __call__(
-        self, recv_xzh: np.ndarray, src_xz: np.ndarray
+        self, recv_xzh: np.ndarray, src_xz: np.ndarray, **kw
     ) -> np.ndarray:
         recv_xzh = np.asarray(recv_xzh, np.float32)
         src_xz = np.asarray(src_xz, np.float32)
@@ -952,4 +976,6 @@ class HorizontalPoseAdapter:
         src[:, 0] = src_xz[:, 0]
         src[:, 1] = self._floor_at(src_xz[:, 0], src_xz[:, 1]) + self.source_height
         src[:, 2] = src_xz[:, 1]
-        return self.tracer(recv, src)
+        # kw (slot=, fresh=) passes through to CoherentPoseTracer3D; the
+        # plain PoseTracer3D is never called with kwargs
+        return self.tracer(recv, src, **kw)

@@ -28,7 +28,6 @@ import argparse
 import dataclasses
 import json
 import os
-import time
 
 import jax
 
@@ -74,27 +73,11 @@ def main(argv=None):
     )
     os.makedirs(cfg.model_dir, exist_ok=True)
 
-    # Setup-phase heartbeat: the bank upload over the axon tunnel (a few
-    # MB/s; 20+ min for multi-scene roots) and the first compile write
-    # nothing to stdout, and the queue watchdog kills on log-mtime
-    # staleness — a healthy upload would read as a wedge. Print a
-    # heartbeat until the first real log line (then the train/eval logs
-    # keep the file fresh and genuine wedges stay detectable), capped at
-    # 90 min so a setup-phase wedge still gets killed eventually.
-    import threading
+    # Setup-phase heartbeat until the first real log line (see
+    # utils/jobs.py for why)
+    from soundspaces_tpu.utils.jobs import start_setup_heartbeat
 
-    hb_stop = threading.Event()
-
-    def _heartbeat():
-        t0 = time.time()
-        while not hb_stop.wait(240):
-            dt = time.time() - t0
-            if dt > 5400:
-                return
-            print(f"[job] setup heartbeat +{dt:.0f}s "
-                  "(bank upload / first compile)", flush=True)
-
-    threading.Thread(target=_heartbeat, daemon=True).start()
+    hb_stop = start_setup_heartbeat("job")
 
     trainer = build_trainer(cfg)
     is_savi = cfg.trainer_name == "savi"

@@ -26,11 +26,6 @@ from soundspaces_tpu.env.structs import DeviceScene, EpisodeBank
 from soundspaces_tpu.scene.banks import SceneAssets
 
 
-def _pad_to(arr: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:
-    pads = [(0, t - s) for s, t in zip(arr.shape, shape)]
-    return np.pad(arr, pads)
-
-
 def stack_scenes(assets_list: Sequence[SceneAssets]) -> DeviceScene:
     """Stack per-scene assets into one DeviceScene whose every array has a
     leading scene axis, padded to the largest scene. Geodesic padding uses

@@ -155,6 +155,53 @@ def test_continuous_env_tracer3d_coherent_mode():
     assert (inner._state_pose[:, 6] == 1.0).all()
 
 
+def test_distractor_uses_separate_cache_slot():
+    """Goal and distractor renders of the same step must not share the
+    per-env cache (alternating sources would either defeat the reuse or
+    blend two sources' fields); the env routes the distractor through
+    slot 1 and passes its auto-reset mask as `fresh`."""
+    import jax
+    import jax.numpy as jnp
+
+    from soundspaces_tpu.env import DeviceScene, make_episode_bank
+    from soundspaces_tpu.env.continuous import (
+        ContinuousAudioNavEnv,
+        ContinuousConfig,
+    )
+    from soundspaces_tpu.scene import make_synthetic_assets
+    from soundspaces_tpu.tools.rir_synth import HorizontalPoseAdapter
+
+    sr = 4000
+    assets = make_synthetic_assets(
+        num_nodes_hint=24, sampling_rate=sr, rir_max_len=1000, image_size=8,
+        num_sounds=2, max_secs=2, seed=41,
+    )
+    scene = DeviceScene.from_assets(assets)
+    episodes = make_episode_bank(
+        assets, 8, seed=42, min_geodesic_hops=3, with_distractors=True,
+    )
+    inner = CoherentPoseTracer3D(
+        assets.graph, sr, 1000, num_rays=60, refresh_rays=6,
+        num_threads=2, room_height=3.0,
+    )
+    env = ContinuousAudioNavEnv(
+        ContinuousConfig(sensors=("audiogoal",),
+                         rir_source="tracer3d_coherent",
+                         has_distractor_sound=True, use_crossfade=True),
+        scene, episodes, num_envs=2,
+        tracer=HorizontalPoseAdapter(inner, 1.5, 1.5),
+    )
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    for _ in range(2):
+        state, obs, _, _, _ = env.step(state, jnp.ones((2,), jnp.int32))
+    assert np.isfinite(np.asarray(obs["audiogoal"])).all()
+    assert sorted(inner._state.keys()) == [0, 1]
+    # both slots warmed, and their cached sources differ (goal vs distractor)
+    p0, p1 = inner._state[0][1], inner._state[1][1]
+    assert (p0[:, 6] == 1.0).all() and (p1[:, 6] == 1.0).all()
+    assert not np.allclose(p0[:, 3:6], p1[:, 3:6])
+
+
 def test_refresh_path_is_faster():
     full, coh = make_tracers(num_rays=2000, refresh=200)
     recv = RECV0.copy()

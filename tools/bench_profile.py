@@ -72,9 +72,11 @@ def main():
             out["rates_obs_per_s"][name] = round(rates[name], 1)
             print(f"[profile] {name} ({sensors}): {rates[name]:.0f} obs/s",
                   file=sys.stderr, flush=True)
-        except RuntimeError as e:
-            errors.append(str(e)[:300])
-            print(f"[profile] {e}", file=sys.stderr, flush=True)
+        except Exception as e:  # incl. subprocess.TimeoutExpired — one
+            # slow/wedged rung must not abort the whole profile JSON
+            errors.append(f"{name}: {e}"[:300])
+            print(f"[profile] {name} failed: {e}", file=sys.stderr,
+                  flush=True)
 
     def us(name):
         # per-env-step wall time in microseconds (batch-step time / envs)

@@ -193,8 +193,14 @@ def snapshot(artifacts: dict, step: str):
             log_path = os.path.join(LOGDIR, f"{step}.log")
             if not os.path.exists(log_path):
                 continue
+            # LAST attempt only: the step log appends across attempts and
+            # re-runs, and a retried tool would otherwise leave stale JSON
+            # objects ahead of the good one in the committed artifact
+            text = open(log_path, errors="replace").read()
+            last = text.split("===== attempt")[-1]
             lines = [
-                ln for ln in open(log_path, errors="replace")
+                ln + "\n" if not ln.endswith("\n") else ln
+                for ln in last.splitlines(keepends=True)
                 if ln.startswith("{")
             ]
             if lines:

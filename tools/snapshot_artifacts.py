@@ -22,9 +22,18 @@ def main():
     from chip_queue_r4 import STEPS as STEPS_R4
     from chip_queue_r5 import STEPS as STEPS_R5
 
-    copied = []
+    # one artifact name per SOURCE file, r5 taking precedence: the r5
+    # savi extension steps APPEND to the same model-dir logs the r4 steps
+    # mapped to the (already-committed, frozen) r4 artifact names — using
+    # both mappings would silently overwrite the cited r4 curves with the
+    # extended 4000-update logs
+    by_src: dict[str, str] = {}
     for _, _, artifacts, _ in list(STEPS_R4) + list(STEPS_R5):
         for src, dst in artifacts.items():
+            by_src[src] = dst
+
+    copied = []
+    for src, dst in by_src.items():
             if src == "__json_stdout__":
                 continue
             out = os.path.join(REPO, "results", dst)
