@@ -107,22 +107,16 @@ STEPS = [
             "realistic_savi_r4b_ablate_val.jsonl"},
         1200,
     ),
-    # AV-WaN in two stages so a round-end cut mid-train still leaves a
-    # COMPLETE train+val artifact from stage a (r3's lesson: the 5200-update
-    # continuation finished training but its val sweep never ran)
+    # AV-WaN sized to the remaining round budget: a COMPLETE train+val
+    # artifact plus the policy probe must all land before the chip is
+    # freed for the driver's end-of-round bench (r3's lesson inverted:
+    # a finished 2000-update curve with val + instrumentation beats a
+    # cut 5200-update train-only partial)
     (
         "avwan_a",
         JOB + ["--exp-config", "configs/realistic_avwan.yaml",
-               "--model-dir", f"{MODELS}/avwan_r5", "--eval-interval", "5"],
-        {f"{MODELS}/avwan_r5/train.log": "realistic_avwan_r5_train.jsonl",
-         f"{MODELS}/avwan_r5/val.log": "realistic_avwan_r5_val.jsonl"},
-        2400,
-    ),
-    (
-        "avwan_b",
-        JOB + ["--exp-config", "configs/realistic_avwan.yaml",
                "--model-dir", f"{MODELS}/avwan_r5", "--eval-interval", "5",
-               "trainer.num_updates=5200"],
+               "trainer.num_updates=2000"],
         {f"{MODELS}/avwan_r5/train.log": "realistic_avwan_r5_train.jsonl",
          f"{MODELS}/avwan_r5/val.log": "realistic_avwan_r5_val.jsonl"},
         2400,
