@@ -451,3 +451,35 @@ def test_auto_internal_map_size_covers_big_scenes():
     need = 2 * 480 + 2 * cfg.egomap_size
     got = auto_internal_map_size(big, cfg)
     assert got >= need and got % 100 == 0
+
+
+def test_probe_diag_argmin_matches_oracle_choice(wp_world):
+    """The policy-probe's internal oracle reference (avwan_probe
+    _cell_costs + _oracle_cost argmin) must pick EXACTLY the cell
+    oracle_waypoints drives with on the same state — the round-5 review
+    caught these drifting (a raw path-cost argmin landed on arbitrary
+    tied cells, often the zero-progress STOP center, garbaging
+    oracle_match/oracle_progress)."""
+    from soundspaces_tpu.tools.avwan_probe import (
+        _cell_costs,
+        _oracle_cost,
+        oracle_waypoints,
+    )
+
+    _, env = wp_world
+    scene, tables = env.base.scene, env.tables()
+    a = env.wp.mapper.action_map_size
+    idxs = jnp.arange(a * a)
+    rows, cols = idxs // a, idxs % a
+    state, _ = env.reset(jax.random.PRNGKey(9))
+    for step in range(4):
+        want = np.asarray(oracle_waypoints(env, scene, tables, state))
+        valid, path, h_tg, h_ng = jax.vmap(
+            lambda st: _cell_costs(env, scene, tables, st, rows, cols)
+        )(state)
+        got = np.asarray(
+            jnp.argmin(_oracle_cost(valid, path, h_tg), axis=1)
+        )
+        at_goal = np.asarray(h_ng) == 0
+        np.testing.assert_array_equal(want[~at_goal], got[~at_goal])
+        state, _, _, _, _ = env.step(state, jnp.asarray(want))
