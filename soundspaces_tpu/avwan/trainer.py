@@ -10,6 +10,7 @@ train/trainer.PPOTrainer (the BaseRLTrainer role)."""
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,9 @@ class AVWanTrainer(PPOTrainer):
         mesh=None,
         use_gm: bool = True,
         use_am: bool = True,
+        bc_updates: int = 0,
+        bc_beta_start: float = 1.0,
+        bc_beta_final: float = 0.25,
     ):
         assert mesh is None, "AV-WaN scales via multiscene sharding (later)"
         self.cfg = trainer_cfg
@@ -55,6 +59,9 @@ class AVWanTrainer(PPOTrainer):
         self.env = env
         self.eval_env = eval_env
         self.mesh = None
+        self.bc_updates = bc_updates
+        self.bc_beta_start = bc_beta_start
+        self.bc_beta_final = bc_beta_final
         self.policy = CategoricalPolicy(
             net=AVWanNet(hidden_size=ppo_cfg.hidden_size, use_gm=use_gm,
                          use_am=use_am),
@@ -64,6 +71,10 @@ class AVWanTrainer(PPOTrainer):
             make_lr_schedule(ppo_cfg, trainer_cfg.num_updates),
             eps=ppo_cfg.eps,
         )
+        # the DAgger phase runs before the PPO schedule starts, so it gets
+        # its own constant-lr optimizer (the shared schedule counts
+        # optimizer steps and would decay through the warm-start)
+        self.bc_optimizer = optax.adam(ppo_cfg.lr, eps=ppo_cfg.eps)
 
     def _bank_args(self):
         return (self.env.base.scene, self.env.base.episodes, self.env.tables())
@@ -206,6 +217,174 @@ class AVWanTrainer(PPOTrainer):
             return params, opt_state, carry2, metrics
 
         return step
+
+    # -------------------------------------------------- DAgger warm-start
+    # The round-5 policy probe attributed AV-WaN's SPL gap to the waypoint
+    # head itself: on identical states the learned distribution is mostly
+    # off-path and on average goal-regressive (oracle_match 5.7%,
+    # progress -3.3 vs the oracle's +7.6 hops,
+    # results/avwan_policy_probe_r5.json) while the same map/mask/planner
+    # machinery under an oracle chooser reaches SPL 0.731. Pure PPO cannot
+    # climb out at 17 m horizons within single-chip budgets, so the trainer
+    # gains a supervised warm-start: DAgger over the oracle chooser
+    # (avwan/oracle.py) — execute a beta-mixture of oracle and policy
+    # waypoints so the policy is supervised on ITS OWN visitation
+    # distribution as beta anneals, with masked cross-entropy on the
+    # oracle's choice plus a value fit on the observed returns. The
+    # geodesic-hops teacher is privileged, training-time-only signal (the
+    # reference trains its ShortestPathFollower-style supervision the same
+    # way); eval never touches it.
+
+    def make_bc_step(self):
+        """One jitted DAgger update: beta-mixture rollout -> ppo_epoch
+        passes of marginal CE over the acceptable waypoint set + value
+        regression to GAE returns. The marginal (-log sum of policy mass
+        on acceptable cells) rather than an exact-label CE: the oracle's
+        argmin is a function of privileged geodesic tables the
+        observations cannot fully disambiguate, but "some on-path
+        strictly-progressing cell" is observable (see
+        avwan/oracle.py::acceptable_waypoints)."""
+        ppo = self.ppo
+        from soundspaces_tpu.avwan.oracle import acceptable_waypoints
+
+        def step(params, opt_state, carry, rng, beta, scene, episodes,
+                 tables):
+            def one_step(c: WanCarry, _):
+                rng2, akey, mkey = jax.random.split(c.rng, 3)
+                masks = 1.0 - c.prev_done.astype(jnp.float32)
+                amask = self._mask(c.obs)
+                action, _, value, hidden = self.policy.apply(
+                    params, c.obs, c.hidden, masks, akey, False, amask,
+                    method=self.policy.act,
+                )
+                labels, accept = acceptable_waypoints(
+                    self.env, scene, tables, c.env_state
+                )
+                take = jax.random.bernoulli(mkey, beta, action.shape)
+                executed = jnp.where(take, labels, action)
+                env_state, obs, reward, done, info = self.env.step_pure(
+                    scene, episodes, tables, c.env_state, executed
+                )
+                out = dict(obs=c.obs, labels=labels, accept=accept,
+                           sampled=action, values=value, rewards=reward,
+                           masks=masks, dones=done, infos=info)
+                return WanCarry(env_state, obs, hidden, done, rng2), out
+
+            init_hidden = carry.hidden
+            carry2, traj = jax.lax.scan(
+                one_step, carry, None, length=ppo.num_steps
+            )
+            last_masks = 1.0 - carry2.prev_done.astype(jnp.float32)
+            last_value = self.policy.apply(
+                params, carry2.obs, carry2.hidden, last_masks,
+                self._mask(carry2.obs), method=self.policy.get_value,
+            )
+            _, returns = compute_gae(
+                traj["rewards"], traj["values"], traj["dones"], last_value,
+                ppo.gamma, ppo.tau,
+            )
+            t, n = traj["labels"].shape
+            amask = self._mask(
+                jax.tree.map(
+                    lambda o: o.reshape((t * n,) + o.shape[2:]),
+                    traj["obs"],
+                )
+            ).reshape(t, n, -1)
+
+            def loss_fn(p):
+                logp_all, values, _ = self.policy.apply(
+                    p, traj["obs"], init_hidden, traj["masks"], amask,
+                    method=self.policy.distribution,
+                )
+                marginal = jax.nn.logsumexp(
+                    jnp.where(traj["accept"], logp_all, -jnp.inf), axis=-1
+                )
+                ce = -marginal.mean()
+                v_loss = 0.5 * ((values - returns) ** 2).mean()
+                probs = jnp.exp(logp_all)
+                entropy = -(probs * jnp.where(
+                    jnp.isfinite(logp_all), logp_all, 0.0
+                )).sum(-1)
+                total = ce + ppo.value_loss_coef * v_loss
+                return total, {"bc_ce": ce, "value_loss": v_loss,
+                               "entropy": entropy.mean()}
+
+            def epoch(c, _):
+                p, o = c
+                grads, metrics = jax.grad(loss_fn, has_aux=True)(p)
+                gn = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, ppo.max_grad_norm / (gn + 1e-6))
+                grads = jax.tree.map(lambda g: g * scale, grads)
+                updates, o = self.bc_optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                epoch, (params, opt_state), None, length=ppo.ppo_epoch
+            )
+            metrics = jax.tree.map(jnp.mean, metrics)
+
+            done_f = traj["dones"].astype(jnp.float32)
+            n_done = jnp.maximum(done_f.sum(), 1.0)
+            in_accept = jnp.take_along_axis(
+                traj["accept"], traj["sampled"][..., None], -1
+            )[..., 0]
+            metrics.update(
+                bc_match=jnp.mean(
+                    (traj["sampled"] == traj["labels"]).astype(jnp.float32)
+                ),
+                bc_acceptable=jnp.mean(in_accept.astype(jnp.float32)),
+                reward=traj["rewards"].sum(0).mean(),
+                **{k: (v * done_f).sum() / n_done
+                   for k, v in traj["infos"].items()},
+            )
+            return params, opt_state, carry2, metrics
+
+        return step
+
+    def _bc_warmstart(self, rng, log_fn=None):
+        """Run the DAgger phase from scratch and hand back a checkpoint
+        path (ckpt.0) the standard PPO loop resumes from. The optimizer
+        state is re-initialized at the handoff — Adam moments accumulated
+        along the CE objective would bias the first PPO updates."""
+        cfg = self.cfg
+        rng = jax.random.fold_in(rng, 17)  # decouple from the PPO stream
+        params, _, carry = self.init_state(rng)
+        opt_state = self.bc_optimizer.init(params)
+        step_fn = jax.jit(self.make_bc_step())
+        window: list[float] = []
+        t0 = time.time()
+        steps_per_update = self.ppo.num_steps * self.env.num_envs
+        for u in range(self.bc_updates):
+            rng, key = jax.random.split(rng)
+            frac = u / max(self.bc_updates - 1, 1)
+            beta = (self.bc_beta_start
+                    + (self.bc_beta_final - self.bc_beta_start) * frac)
+            params, opt_state, carry, metrics = step_fn(
+                params, opt_state, carry, key, jnp.float32(beta),
+                *self._bank_args(),
+            )
+            if (u + 1) % cfg.log_interval == 0 or u == self.bc_updates - 1:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                window.append(m["reward"])
+                window = window[-self.ppo.reward_window_size:]
+                m["reward_window"] = float(np.mean(window))
+                m["bc_beta"] = float(beta)
+                m["phase"] = "bc"
+                m["fps"] = steps_per_update * (u + 1) / (time.time() - t0)
+                if log_fn:
+                    log_fn(u, m)
+        return self.save_checkpoint(params, self.optimizer.init(params), 0)
+
+    def train(self, rng=None, num_updates=None, log_fn=None,
+              resume_from=None, profile=False):
+        if self.bc_updates > 0 and not resume_from:
+            rng = (rng if rng is not None
+                   else jax.random.PRNGKey(self.cfg.seed))
+            resume_from = self._bc_warmstart(rng, log_fn)
+        return super().train(
+            rng=rng, num_updates=num_updates, log_fn=log_fn,
+            resume_from=resume_from, profile=profile,
+        )
 
     # ------------------------------------------------------------------- eval
     def evaluate(

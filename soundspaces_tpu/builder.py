@@ -606,6 +606,9 @@ def build_trainer(cfg: ExperimentConfig, mesh=None):
         trainer = AVWanTrainer(
             cfg.trainer, cfg.ppo, env, eval_env=eval_env,
             use_gm=cfg.avwan.use_gm, use_am=cfg.avwan.use_am,
+            bc_updates=cfg.avwan.bc_updates,
+            bc_beta_start=cfg.avwan.bc_beta_start,
+            bc_beta_final=cfg.avwan.bc_beta_final,
         )
     elif cfg.trainer_name == "savi":
         import dataclasses

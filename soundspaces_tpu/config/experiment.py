@@ -130,6 +130,13 @@ class AVWanConfig:
     # setting); False: ground-truth tables (test oracle)
     plan_from_map: bool = True
     egomap_depth_hw: int = 64  # depth-render resolution for the projection
+    # DAgger warm-start (avwan/trainer.py): supervised updates against the
+    # oracle waypoint chooser (avwan/oracle.py) before the PPO phase, with
+    # the executed-action oracle/policy mixture annealed beta_start ->
+    # beta_final. 0 = pure PPO (the reference recipe).
+    bc_updates: int = 0
+    bc_beta_start: float = 1.0
+    bc_beta_final: float = 0.25
 
 
 @dataclasses.dataclass(frozen=True)

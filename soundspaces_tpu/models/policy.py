@@ -123,6 +123,16 @@ class CategoricalPolicy(nn.Module):
         entropy = -(probs * logp).sum(-1)
         return action_log_probs, entropy, value, hidden
 
+    def distribution(self, observations, hidden, masks, action_mask=None):
+        """Full action log-probabilities (+ value) — consumed by losses
+        that marginalize over an acceptable-action SET rather than a
+        single label (the AV-WaN DAgger warm-start's marginal CE,
+        avwan/trainer.py)."""
+        logits, value, hidden = self._logits_value(
+            observations, hidden, masks, action_mask
+        )
+        return jax.nn.log_softmax(logits), value, hidden
+
     def __call__(self, observations, hidden, masks):
         # default apply path (used for init)
         return self._logits_value(observations, hidden, masks)

@@ -39,52 +39,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _cell_costs(env, scene, tables, st, rows, cols):
-    """Shared per-cell waypoint evaluation for ONE env state: (valid,
-    path = h_nt + h_tg, h_tg, h_ng). The oracle drive and the
-    learned-policy diagnostics both derive from exactly these terms, so
-    they cannot drift apart."""
-    from soundspaces_tpu.scene.graph import UNREACHABLE
-
-    base = st.base
-    tnode = env._waypoint_node(scene, tables, base, rows, cols)
-    mask = env._action_mask(scene, tables, st)
-    tn = jnp.maximum(tnode, 0)
-    h_nt = scene.geodesic_hops[base.node, tn].astype(jnp.int32)
-    h_tg = scene.geodesic_hops[tn, base.goal_node].astype(jnp.int32)
-    valid = (
-        (mask > 0.5)
-        & (tnode >= 0)
-        & (h_nt < UNREACHABLE)
-        & (h_tg < UNREACHABLE)
-    )
-    h_ng = scene.geodesic_hops[base.node, base.goal_node].astype(jnp.int32)
-    return valid, h_nt + h_tg, h_tg, h_ng
-
-
-def _oracle_cost(valid, path, h_tg):
-    """The oracle's tie-broken cost: primary stay-on-a-shortest-path
-    (minimal h_nt + h_tg), secondary maximal progress (minimal h_tg) —
-    the STOP center cell ties on the primary term but always loses the
-    tie-break to any forward on-path cell."""
-    cost = path * 10000 + h_tg
-    return jnp.where(valid, cost, jnp.int32(2**30))
-
-
-def oracle_waypoints(env, scene, tables, state):
-    """Per-env oracle waypoint indices over the CURRENT action mask."""
-    a = env.wp.mapper.action_map_size
-    idxs = jnp.arange(a * a)
-    rows, cols = idxs // a, idxs % a
-
-    def one(st):
-        valid, path, h_tg, h_ng = _cell_costs(
-            env, scene, tables, st, rows, cols
-        )
-        best = jnp.argmin(_oracle_cost(valid, path, h_tg)).astype(jnp.int32)
-        return jnp.where(h_ng == 0, jnp.int32(a * a // 2), best)
-
-    return jax.vmap(one)(state)
+# The oracle chooser lives in avwan/oracle.py now (the trainer consumes it
+# as a DAgger teacher); these aliases keep the probe's public surface — and
+# the guard test pinning probe-argmin == oracle choice — importable here.
+from soundspaces_tpu.avwan.oracle import (  # noqa: E402
+    cell_costs as _cell_costs,
+    oracle_cost as _oracle_cost,
+    oracle_waypoints,
+)
 
 
 def run_probe(cfg, episodes: int, num_envs: int, oracle_tables: bool):

@@ -483,3 +483,85 @@ def test_probe_diag_argmin_matches_oracle_choice(wp_world):
         at_goal = np.asarray(h_ng) == 0
         np.testing.assert_array_equal(want[~at_goal], got[~at_goal])
         state, _, _, _, _ = env.step(state, jnp.asarray(want))
+
+
+def test_avwan_dagger_warmstart(wp_world, tmp_path):
+    """DAgger warm-start (avwan/trainer.py make_bc_step + train override,
+    teacher = avwan/oracle.py): the supervised CE on the oracle chooser's
+    labels falls, the policy's own samples converge toward the oracle, and
+    train() hands the BC checkpoint (ckpt.0) off to the standard PPO loop."""
+    import os
+
+    from soundspaces_tpu.avwan.trainer import AVWanTrainer
+    from soundspaces_tpu.train import PPOConfig, TrainerConfig
+
+    _, env = wp_world
+    trainer = AVWanTrainer(
+        TrainerConfig(num_envs=2, num_updates=1, log_interval=1,
+                      checkpoint_interval=1,
+                      checkpoint_folder=str(tmp_path / "ckpts")),
+        PPOConfig(num_steps=8, hidden_size=32, ppo_epoch=1,
+                  num_mini_batch=1, lr=2e-3),
+        env, bc_updates=30,
+    )
+    logs = []
+    params, _, _ = trainer.train(
+        jax.random.PRNGKey(0), log_fn=lambda u, m: logs.append((u, m))
+    )
+    bc = [m for _, m in logs if m.get("phase") == "bc"]
+    assert len(bc) == 30
+    # the mixture anneals beta_start -> beta_final across the phase
+    assert bc[0]["bc_beta"] == pytest.approx(1.0)
+    assert bc[-1]["bc_beta"] == pytest.approx(0.25)
+    # the marginal CE over the acceptable set falls and the policy's own
+    # samples land in the acceptable set more often (head-to-tail window
+    # means: 16 samples/update is noisy; the exact-argmin bc_match is a
+    # logged diagnostic, not a target — the oracle's argmin depends on
+    # privileged tables the observations cannot fully disambiguate)
+    head = lambda k: float(np.mean([m[k] for m in bc[:5]]))
+    tail = lambda k: float(np.mean([m[k] for m in bc[-5:]]))
+    assert tail("bc_ce") < head("bc_ce"), (head("bc_ce"), tail("bc_ce"))
+    assert tail("bc_acceptable") > head("bc_acceptable"), (
+        head("bc_acceptable"), tail("bc_acceptable"))
+    # the PPO phase ran after the handoff and the BC checkpoint exists
+    assert any("phase" not in m for _, m in logs)
+    assert os.path.exists(tmp_path / "ckpts" / "ckpt.0")
+
+
+def test_acceptable_waypoints_semantics(wp_world):
+    """acceptable_waypoints: the set is exactly the mask-valid on-path
+    strictly-progressing cells (falling back to the oracle argmin), and
+    the oracle label is always a member."""
+    from soundspaces_tpu.avwan.oracle import (
+        acceptable_waypoints,
+        cell_costs,
+        oracle_waypoints,
+    )
+
+    _, env = wp_world
+    scene, tables = env.base.scene, env.tables()
+    a = env.wp.mapper.action_map_size
+    idxs = jnp.arange(a * a)
+    rows, cols = idxs // a, idxs % a
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    labels, accept = jax.tree.map(
+        np.asarray, acceptable_waypoints(env, scene, tables, state)
+    )
+    want = np.asarray(oracle_waypoints(env, scene, tables, state))
+    valid, path, h_tg, h_ng = map(
+        np.asarray,
+        jax.vmap(lambda st: cell_costs(env, scene, tables, st, rows, cols))(
+            state
+        ),
+    )
+    for i in range(accept.shape[0]):
+        assert labels[i] == want[i]
+        assert accept[i, labels[i]]
+        if h_ng[i] > 0:
+            on = valid[i] & (path[i] == h_ng[i]) & (h_tg[i] < h_ng[i])
+            if on.any():
+                np.testing.assert_array_equal(accept[i], on)
+        else:
+            expect = np.zeros(a * a, bool)
+            expect[a * a // 2] = True
+            np.testing.assert_array_equal(accept[i], expect)
